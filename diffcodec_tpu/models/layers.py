@@ -1,0 +1,275 @@
+"""Shared flax.linen building blocks for the SD-1.5 model family.
+
+NHWC layout throughout; params are fp32, compute dtype is configurable
+(bf16 by default on TPU).  These blocks implement the architecture of the
+frozen HF Stable-Diffusion-1.5 stack the reference builds on
+(`train_controlnet.py:805-814` loads AutoencoderKL / UNet2DConditionModel /
+CLIPTextModel) — re-implemented TPU-first, not translated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal timestep embeddings (HF `Timesteps` semantics for SD-1.5:
+    flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift))
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                          axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP lifting sinusoidal embeddings to the time channel dim."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32 for stability, cast back to dtype."""
+    num_groups: int = 32
+    eps: float = 1e-5
+    use_scale_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                         use_bias=self.use_scale_bias,
+                         use_scale=self.use_scale_bias,
+                         dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
+        return x.astype(orig)
+
+
+def zeros_conv_init(key, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+class ZeroConv(nn.Module):
+    """Zero-initialised conv (ControlNet residual heads / zero_module parity,
+    `controlnet/control_utils.py:6-9`)."""
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, self.kernel_size, padding="SAME",
+                       kernel_init=zeros_conv_init, bias_init=zeros_conv_init,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """SD resnet block: GN-SiLU-conv, +time, GN-SiLU-conv, +shortcut."""
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        residual = x
+        h = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
+                        name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
+                        name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(residual)
+        return h + residual
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional cross-attention context.
+
+    Projections are bias-free q/k/v + out (SD convention).  Softmax in fp32.
+    """
+    heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="to_v")(context)
+
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, self.heads, self.head_dim)
+        k = k.reshape(B, Lk, self.heads, self.head_dim)
+        v = v.reshape(B, Lk, self.heads, self.head_dim)
+        # fp32 logits/softmax for stability; MXU-friendly einsum contraction
+        scale = 1.0 / math.sqrt(self.head_dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(B, Lq, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, each residual."""
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
+                          name="attn1")(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
+                          name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(dtype=self.dtype, name="ff")(h)
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> 1x1 proj_in -> blocks -> 1x1 proj_out + res."""
+    heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm32(32, 1e-6, dtype=self.dtype, name="norm")(x)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, C)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.heads, self.head_dim,
+                                      dtype=self.dtype,
+                                      name=f"blocks_{i}")(h, context)
+        h = h.reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class AttentionBlock2D(nn.Module):
+    """Single-head spatial self-attention used in the VAE mid block."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = GroupNorm32(32, 1e-6, dtype=self.dtype, name="group_norm")(x)
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+        scale = 1.0 / math.sqrt(C)
+        logits = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+        return x + out.reshape(B, H, W, C)
+
+
+class ConvBlock(nn.Module):
+    """conv3x3(+stride)-SiLU-conv3x3-SiLU, `extractors.py:14-24` parity."""
+    out_channels: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = (self.stride, self.stride)
+        pad = ((1, 1), (1, 1))
+        x = nn.Conv(self.out_channels, (3, 3), strides=s, padding=pad,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.silu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv2")(x)
+        return nn.silu(x)

@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on a virtual 8-device CPU mesh, matching how the driver dry-runs
+`__graft_entry__.dryrun_multichip`.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
