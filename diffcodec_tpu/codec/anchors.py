@@ -1,0 +1,138 @@
+"""Classical codec anchors via external binaries (ffmpeg x264/x265, vvenc).
+
+Parity targets: `test.sh` (H.264/HEVC encode at target bpp, keyint=GOP,
+scenecut off, ffprobe per-frame pkt_size/pict_type split into intra/inter
+bytes), `vcc_test.sh` / `vvc_decode.sh` (VVC).  These remain subprocess
+drivers — the anchors are not ML and the reference also shells out.
+
+All functions raise RuntimeError with a clear message when the binary is
+missing (zero-egress CI has no ffmpeg), and are exercised in tests through
+the pure-python log parsers below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+from typing import Dict, List, Optional, Tuple
+
+
+def _require(binary: str):
+    path = shutil.which(binary)
+    if path is None:
+        raise RuntimeError(
+            f"{binary!r} not found; classical anchors require it "
+            f"(see test.sh in the reference for the recipe)")
+    return path
+
+
+def bpp_to_bitrate(bpp: float, width: int, height: int, fps: float) -> int:
+    """Target bitrate in bits/sec from bpp (`test.sh:23-25` formula)."""
+    return int(bpp * width * height * fps)
+
+
+def encode_x26x(frames_glob: str, out_path: str, codec: str, bpp: float,
+                width: int, height: int, fps: float, gop: int,
+                num_frames: int = 96) -> None:
+    """Encode PNG frames with libx264/libx265 at a target bpp with fixed
+    keyframe interval (`test.sh:27-38`)."""
+    assert codec in ("libx264", "libx265")
+    ffmpeg = _require("ffmpeg")
+    bitrate = bpp_to_bitrate(bpp, width, height, fps)
+    args = [ffmpeg, "-y", "-framerate", str(fps), "-i", frames_glob,
+            "-frames:v", str(num_frames), "-c:v", codec,
+            "-b:v", str(bitrate), "-pix_fmt", "yuv420p"]
+    if codec == "libx264":
+        args += ["-g", str(gop), "-keyint_min", str(gop), "-sc_threshold",
+                 "0"]
+    else:
+        args += ["-x265-params",
+                 f"keyint={gop}:min-keyint={gop}:scenecut=0:"
+                 f"bitrate={bitrate // 1000}"]
+    subprocess.run(args, check=True, capture_output=True)
+
+
+def decode_to_frames(video_path: str, out_dir: str) -> None:
+    """Decode to PNG frames (`test.sh:56`)."""
+    ffmpeg = _require("ffmpeg")
+    os.makedirs(out_dir, exist_ok=True)
+    subprocess.run([ffmpeg, "-y", "-i", video_path,
+                    os.path.join(out_dir, "frame_%04d.png")],
+                   check=True, capture_output=True)
+
+
+def probe_frame_sizes(video_path: str) -> List[Tuple[str, int]]:
+    """[(pict_type, pkt_size)] per frame via ffprobe (`test.sh:41-42`)."""
+    ffprobe = _require("ffprobe")
+    out = subprocess.run(
+        [ffprobe, "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "frame=pkt_size,pict_type", "-of", "json", video_path],
+        check=True, capture_output=True, text=True)
+    frames = json.loads(out.stdout).get("frames", [])
+    return [(f.get("pict_type", "?"), int(f.get("pkt_size", 0)))
+            for f in frames]
+
+
+def split_intra_inter_bytes(frame_sizes: List[Tuple[str, int]]
+                            ) -> Dict[str, int]:
+    """I vs P/B byte split (`test.sh:45-52` awk logic)."""
+    intra = sum(s for t, s in frame_sizes if t == "I")
+    inter = sum(s for t, s in frame_sizes if t != "I")
+    return {"intra_bytes": intra, "inter_bytes": inter,
+            "total_bytes": intra + inter}
+
+
+def write_intra_inter_storage(path: str, split: Dict[str, int]) -> None:
+    """The `intra_inter_storage.txt` consumed by
+    `classical_codec_eval.py:104-127`."""
+    with open(path, "w") as f:
+        f.write(f"intra_bytes: {split['intra_bytes']}\n")
+        f.write(f"inter_bytes: {split['inter_bytes']}\n")
+        f.write(f"total_bytes: {split['total_bytes']}\n")
+
+
+def parse_intra_inter_storage(path: str) -> Dict[str, int]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"(\w+):\s*(\d+)", line.strip())
+            if m:
+                out[m.group(1)] = int(m.group(2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VVC (vvenc/vvdec) — `vcc_test.sh`, `vvc_decode.sh`
+# ---------------------------------------------------------------------------
+
+_POC_BITS_RE = re.compile(r"POC\s+(\d+).*?(\d+)\s+bits", re.IGNORECASE)
+_SLICE_RE = re.compile(r"\b([IPB])-?SLICE\b|\(\s*([IPB])[\s,)]",
+                       re.IGNORECASE)
+
+
+def parse_vvdec_poc_log(log_text: str) -> List[Tuple[int, str, int]]:
+    """Parse vvdec per-POC log lines -> [(poc, slice_type, bits)]
+    (`vvc_decode.sh:40-66` byte accounting).  Handles both
+    '( CRA, I-SLICE, QP .. )' and bare '( I ...)' slice annotations."""
+    out = []
+    for line in log_text.splitlines():
+        m = _POC_BITS_RE.search(line)
+        if not m:
+            continue
+        sm = _SLICE_RE.search(line)
+        if not sm:
+            continue
+        slice_type = (sm.group(1) or sm.group(2)).upper()
+        out.append((int(m.group(1)), slice_type, int(m.group(2))))
+    return out
+
+
+def split_vvc_intra_inter(poc_entries: List[Tuple[int, str, int]]
+                          ) -> Dict[str, int]:
+    intra_bits = sum(b for _, t, b in poc_entries if t == "I")
+    inter_bits = sum(b for _, t, b in poc_entries if t != "I")
+    return {"intra_bytes": intra_bits // 8, "inter_bytes": inter_bits // 8,
+            "total_bytes": (intra_bits + inter_bits) // 8}

@@ -1,0 +1,87 @@
+"""Bjøntegaard delta-rate computation.
+
+Parity target: `BD_rate_eval.py:6-80`: sort by quality (sign-flipped for
+lower-is-better metrics), clamp to the overlapping quality range
+(`bd_rate`) or extend the union range by 5% (`bd_rate_safe`), PCHIP (or
+linear for <3 points) interpolation of log-rate over quality, trapezoid
+integration on 100 points, (exp(Δ)−1)·100%.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from scipy.interpolate import PchipInterpolator, interp1d
+
+
+def _interp(Q, logR, extrapolate=False):
+    if len(Q) >= 3:
+        return PchipInterpolator(Q, logR, extrapolate=extrapolate or None)
+    return interp1d(Q, logR, fill_value="extrapolate")
+
+
+def bd_rate(R1: Sequence[float], Q1: Sequence[float], R2: Sequence[float],
+            Q2: Sequence[float], higher_better: bool = True) -> float:
+    """BD-rate % of (R2, Q2) vs anchor (R1, Q1); NaN when no quality
+    overlap."""
+    R1, Q1, R2, Q2 = map(np.asarray, (R1, Q1, R2, Q2))
+    if not higher_better:
+        Q1, Q2 = -Q1, -Q2
+    s1, s2 = np.argsort(Q1), np.argsort(Q2)
+    Q1, R1 = Q1[s1], R1[s1]
+    Q2, R2 = Q2[s2], R2[s2]
+    minQ = max(Q1.min(), Q2.min())
+    maxQ = min(Q1.max(), Q2.max())
+    if maxQ <= minQ:
+        return float("nan")
+    f1 = _interp(Q1, np.log(R1))
+    f2 = _interp(Q2, np.log(R2))
+    Qs = np.linspace(minQ, maxQ, 100)
+    int1 = np.trapezoid(f1(Qs), Qs)
+    int2 = np.trapezoid(f2(Qs), Qs)
+    avg_diff = (int2 - int1) / (maxQ - minQ)
+    return float((np.exp(avg_diff) - 1) * 100)
+
+
+def bd_rate_safe(R1, Q1, R2, Q2, higher_better: bool = True) -> float:
+    """Extended-range variant (`BD_rate_eval.py:51-80`): integrates over the
+    union quality range stretched by ±5%, extrapolating both curves."""
+    R1, Q1, R2, Q2 = map(np.asarray, (R1, Q1, R2, Q2))
+    if not higher_better:
+        Q1, Q2 = -Q1, -Q2
+    s1, s2 = np.argsort(Q1), np.argsort(Q2)
+    Q1, R1 = Q1[s1], R1[s1]
+    Q2, R2 = Q2[s2], R2[s2]
+    minQ = min(Q1.min(), Q2.min()) * 0.95
+    maxQ = max(Q1.max(), Q2.max()) * 1.05
+    f1 = _interp(Q1, np.log(R1), extrapolate=True)
+    f2 = _interp(Q2, np.log(R2), extrapolate=True)
+    Qs = np.linspace(minQ, maxQ, 100)
+    int1 = np.trapezoid(f1(Qs), Qs)
+    int2 = np.trapezoid(f2(Qs), Qs)
+    avg_diff = (int2 - int1) / (maxQ - minQ)
+    return float((np.exp(avg_diff) - 1) * 100)
+
+
+def bd_quality(R1, Q1, R2, Q2, higher_better: bool = True) -> float:
+    """BD-quality (e.g. BD-PSNR): average quality difference at equal rate.
+    Companion metric (standard Bjøntegaard definition, same interpolation
+    style as bd_rate but with axes swapped)."""
+    R1, Q1, R2, Q2 = map(np.asarray, (R1, Q1, R2, Q2))
+    sign = 1.0 if higher_better else -1.0
+    Q1, Q2 = sign * Q1, sign * Q2
+    lR1, lR2 = np.log(R1), np.log(R2)
+    s1, s2 = np.argsort(lR1), np.argsort(lR2)
+    lR1, Q1 = lR1[s1], Q1[s1]
+    lR2, Q2 = lR2[s2], Q2[s2]
+    minR = max(lR1.min(), lR2.min())
+    maxR = min(lR1.max(), lR2.max())
+    if maxR <= minR:
+        return float("nan")
+    f1 = _interp(lR1, Q1)
+    f2 = _interp(lR2, Q2)
+    Rs = np.linspace(minR, maxR, 100)
+    int1 = np.trapezoid(f1(Rs), Rs)
+    int2 = np.trapezoid(f2(Rs), Rs)
+    return float(sign * (int2 - int1) / (maxR - minR))

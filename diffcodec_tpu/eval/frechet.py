@@ -1,0 +1,86 @@
+"""Fréchet distances (FID / FVD core) + feature-extractor gating.
+
+Parity targets: `test_utils.py:44-66` (FID via torchmetrics feature=64),
+`fvd_utils/` (FVD via torchscript I3D 400-d features + Fréchet distance,
+`fvd_utils/models/fvd/fvd.py:42-90`).
+
+The Fréchet math is self-contained numpy (sqrtm via eigendecomposition of
+the symmetrized product, robust to slight asymmetry).  Feature extractors:
+pretrained Inception/I3D weights are unavailable offline — `fid_score` /
+`fvd_score` accept a `feature_fn`, and `load_i3d_torchscript` wraps the
+reference's `i3d_torchscript.pt` when a path is provided (torch CPU is
+available in this image).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+from scipy import linalg
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray,
+                     sigma2: np.ndarray, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def activations_to_frechet(feat1: np.ndarray, feat2: np.ndarray) -> float:
+    """Feature matrices [N, D] -> Fréchet distance."""
+    mu1, mu2 = feat1.mean(0), feat2.mean(0)
+    s1 = np.cov(feat1, rowvar=False)
+    s2 = np.cov(feat2, rowvar=False)
+    return frechet_distance(mu1, np.atleast_2d(s1), mu2, np.atleast_2d(s2))
+
+
+def fid_score(images1: np.ndarray, images2: np.ndarray,
+              feature_fn: Callable[[np.ndarray], np.ndarray]) -> float:
+    """FID over [N,H,W,3] uint8 frames with a pluggable feature extractor
+    (the reference uses torchmetrics FID feature=64, `test_utils.py:44-47`)."""
+    return activations_to_frechet(feature_fn(images1), feature_fn(images2))
+
+
+def fvd_score(videos1: np.ndarray, videos2: np.ndarray,
+              feature_fn: Callable[[np.ndarray], np.ndarray]) -> float:
+    """FVD over [N,T,H,W,3] videos in [0,1] with an I3D feature fn
+    (400-d logits, `fvd_utils/models/fvd/fvd.py:42-62`)."""
+    return activations_to_frechet(feature_fn(videos1), feature_fn(videos2))
+
+
+def load_i3d_torchscript(path: Optional[str] = None):
+    """Wrap the reference's torchscript I3D as a numpy feature fn.
+
+    Looks for `i3d_torchscript.pt` at `path` or $DIFFCODEC_I3D_PATH.
+    Returns None when unavailable (FVD then reports as unavailable rather
+    than wrong).  Runs on CPU torch; used offline for eval only.
+    """
+    path = path or os.environ.get("DIFFCODEC_I3D_PATH", "")
+    if not path or not os.path.exists(path):
+        return None
+    import torch
+
+    model = torch.jit.load(path).eval()
+
+    def feature_fn(videos: np.ndarray) -> np.ndarray:
+        # [N,T,H,W,3] in [0,1] -> I3D input [N,3,T,H,W] in [-1,1]
+        feats = []
+        with torch.no_grad():
+            for v in videos:
+                x = torch.from_numpy(v.astype(np.float32) * 2 - 1)
+                x = x.permute(3, 0, 1, 2)[None]
+                out = model(x, rescale=False, resize=False,
+                            return_features=True)
+                feats.append(out.numpy().reshape(-1))
+        return np.stack(feats)
+
+    return feature_fn

@@ -1,0 +1,228 @@
+"""Warped-conditioning feature extractors + FDN.
+
+Parity targets:
+  * FDN (SPADE-style denorm):            `controlnet/control_utils.py:19-34`
+  * FeatureWarperSoftsplat:              `controlnet/control_utils.py:36-72`
+  * Bi_Dir_FeatureExtractor:             `controlnet/extractors.py:209-315`
+  * Bi_Dir_ResidueExtractor:             `controlnet/extractors.py:67-207`
+  * WarpExtractor:                       `controlnet/extractors.py:26-65`
+
+Behaviour notes preserved from the reference (documented, not "fixed",
+because the published checkpoints train with them):
+  * `Bi_Dir_FeatureExtractor` feeds `resize_and_normalize_flow` output
+    (normalized by (res-1)/2, NOT by the spatial downscale factor) straight
+    into the splat, so per-scale warp magnitudes differ from the
+    geometrically correct ones (`extractors.py:286-287`).
+  * channel naming is swapped: "first" features come from cond channels 3:6
+    (`extractors.py:266-267`).  We keep the wiring (warp cond[...,3:6] with
+    the forward flow).
+Known bug NOT replicated: the debug prints in hot paths
+(`extractors.py:174`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from diffcodec_tpu.models.layers import ConvBlock, GroupNorm32, ZeroConv
+from diffcodec_tpu.ops.flow import (compute_occlusion_mask,
+                                    resize_and_normalize_flow,
+                                    resize_flow_by_factor, soft_fuse)
+from diffcodec_tpu.ops.softsplat import softsplat
+
+
+class FDN(nn.Module):
+    """Feature denormalization: GN(affine=False), scale/shift from cond."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        norm = GroupNorm32(32, use_scale_bias=False, dtype=self.dtype,
+                           name="param_free_norm")(x)
+        gamma = nn.Conv(x.shape[-1], (3, 3), padding="SAME",
+                        dtype=self.dtype, name="conv_gamma")(cond)
+        beta = nn.Conv(x.shape[-1], (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_beta")(cond)
+        return norm * (1 + gamma) + beta
+
+
+class FeatureWarperSoftsplat(nn.Module):
+    """Learnable-metric soft splat of a feature map.
+
+    metric = conv3x3-SiLU-conv3x3(feat) (1 channel); splat in an fp32 island;
+    occluded destinations zeroed via (1 - mask).
+    Returns (warped, metric).
+    """
+    with_learnable_metric: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, flow, mask=None):
+        if self.with_learnable_metric:
+            m = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="metric_0")(feat)
+            m = nn.silu(m)
+            metric = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                             name="metric_2")(m)
+        else:
+            metric = jnp.ones(feat.shape[:3] + (1,), feat.dtype)
+        warped = softsplat(feat.astype(jnp.float32),
+                           flow.astype(jnp.float32),
+                           metric.astype(jnp.float32), "soft")
+        warped = warped.astype(feat.dtype)
+        if mask is not None:
+            warped = warped * (1.0 - mask.astype(feat.dtype))
+        return warped, metric
+
+
+class BiDirFeatureExtractor(nn.Module):
+    """Anchor-pair + bidirectional-flow -> per-scale injection pyramid.
+
+    Input: cond [B, H, W, 6] (two RGB anchors), flow [B, H, W, 4]
+    (fwd uv + bwd uv, pixel units at full res).
+    Output: list of len(inject_channels) maps at H/8, H/16, ... resolution.
+    """
+    inject_channels: Tuple[int, ...] = (320, 320, 640, 1280)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cond, flow):
+        H = cond.shape[1]
+        first = cond[..., 3:6]
+        last = cond[..., 0:3]
+        flow_fwd = flow[..., 0:2]
+        flow_bwd = flow[..., 2:4]
+
+        def pre_extractor(name):
+            def apply(x):
+                specs = [(16, 1), (32, 2), (32, 1), (64, 2), (64, 1)]
+                for k, (ch, s) in enumerate(specs):
+                    x = nn.Conv(ch, (3, 3), strides=(s, s),
+                                padding=((1, 1), (1, 1)), dtype=self.dtype,
+                                name=f"{name}_{k}")(x)
+                    x = nn.silu(x)
+                return x
+            return apply
+
+        f_first = pre_extractor("first_pre")(first)   # H/4, 64ch
+        f_last = pre_extractor("last_pre")(last)
+
+        outputs = []
+        for idx, inject in enumerate(self.inject_channels):
+            half = inject // 2
+            res = H // (8 * (2 ** idx))
+            f_first = nn.Conv(half, (3, 3), strides=(2, 2),
+                              padding=((1, 1), (1, 1)), dtype=self.dtype,
+                              name=f"extractor_first_{idx}")(f_first)
+            f_first = nn.silu(f_first)
+            f_last = nn.Conv(half, (3, 3), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             name=f"extractor_last_{idx}")(f_last)
+            f_last = nn.silu(f_last)
+
+            flow_f = resize_and_normalize_flow(flow_fwd, res, res)
+            flow_b = resize_and_normalize_flow(flow_bwd, res, res)
+            occ_f = compute_occlusion_mask(flow_b, flow_f)
+            occ_b = compute_occlusion_mask(flow_f, flow_b)
+
+            # one warper per scale, shared across directions (the reference
+            # calls self.wrapper[idx] for both sides, extractors.py:294-295,
+            # so the metric net is shared)
+            warper = FeatureWarperSoftsplat(dtype=self.dtype,
+                                            name=f"warper_{idx}")
+            warped_first, conf_f = warper(f_first, flow_f, mask=occ_f)
+            warped_last, conf_b = warper(f_last, flow_b, mask=occ_b)
+            fused = soft_fuse(warped_first, warped_last, conf_f, conf_b,
+                              occ_f, occ_b)
+            outputs.append(ZeroConv(inject, (3, 3), dtype=self.dtype,
+                                    name=f"zero_conv_{idx}")(fused))
+        return outputs
+
+
+class BiDirResidueExtractor(nn.Module):
+    """Residue-flavoured extractor (`extractors.py:67-207`).
+
+    Differences from BiDirFeatureExtractor: separate prev/next pre-extractors
+    with an extra 32ch stage, flow downscale by spatial factor + learnable
+    grouped-conv refiners, per-scale occlusion from the *refined* flows.
+    The reference's declared-but-unused `flow_feature_encoders`
+    (`extractors.py:123-128`) are intentionally omitted.
+    """
+    inject_channels: Tuple[int, ...] = (320, 320, 640, 1280)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, prev_frame, next_frame, flow_fwd, flow_bwd):
+        H = prev_frame.shape[1]
+
+        def pre(name, x):
+            specs = [(32, 1), (64, 2), (64, 2)]
+            for k, (ch, s) in enumerate(specs):
+                x = nn.Conv(ch, (3, 3), strides=(s, s),
+                            padding=((1, 1), (1, 1)), dtype=self.dtype,
+                            name=f"{name}_{k}")(x)
+                x = nn.silu(x)
+            return x
+
+        f_prev = pre("prev_pre", prev_frame)  # H/4
+        f_next = pre("next_pre", next_frame)
+
+        outputs = []
+        for idx, inject in enumerate(self.inject_channels):
+            half = inject // 2
+            res = H // (8 * (2 ** idx))
+            f_prev = nn.Conv(half, (3, 3), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             name=f"prev_pyramid_{idx}")(f_prev)
+            f_prev = nn.silu(f_prev)
+            f_next = nn.Conv(half, (3, 3), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             name=f"next_pyramid_{idx}")(f_next)
+            f_next = nn.silu(f_next)
+
+            flow_f = resize_flow_by_factor(flow_fwd, res, res)
+            flow_b = resize_flow_by_factor(flow_bwd, res, res)
+            # learnable grouped (per-component) 3x3 refiner, shared across
+            # directions (extractors.py:186-187 uses self.flow_refiners[i]
+            # for both)
+            refiner = nn.Conv(2, (3, 3), padding="SAME",
+                              feature_group_count=2, dtype=self.dtype,
+                              name=f"flow_refiner_{idx}")
+            flow_f = refiner(flow_f)
+            flow_b = refiner(flow_b)
+
+            occ_f = compute_occlusion_mask(flow_b, flow_f)
+            occ_b = compute_occlusion_mask(flow_f, flow_b)
+            # shared per-scale warper (reference uses self.warpers[i] for
+            # both directions, extractors.py:196-197)
+            warper = FeatureWarperSoftsplat(dtype=self.dtype,
+                                            name=f"warper_{idx}")
+            warped_prev, conf_p = warper(f_prev, flow_f, mask=occ_f)
+            warped_next, conf_n = warper(f_next, flow_b, mask=occ_b)
+            fused = soft_fuse(warped_prev, warped_next, conf_p, conf_n)
+            outputs.append(ZeroConv(inject, (3, 3), dtype=self.dtype,
+                                    name=f"zero_conv_{idx}")(fused))
+        return outputs
+
+
+class WarpExtractor(nn.Module):
+    """Pyramid features of the pre-warped RGB prediction
+    (`extractors.py:26-65`)."""
+    inject_channels: Tuple[int, ...] = (320, 320, 640, 1280)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # internal widths equal inject_channels (extractors.py:36-40:
+        # enc2..enc5 -> 320/320/640/1280), then zero-conv projection
+        h = ConvBlock(64, stride=4, dtype=self.dtype, name="enc1")(x)
+        outputs = []
+        for idx, inject in enumerate(self.inject_channels):
+            h = ConvBlock(inject, stride=2, dtype=self.dtype,
+                          name=f"enc_{idx + 2}")(h)
+            outputs.append(ZeroConv(inject, (3, 3), dtype=self.dtype,
+                                    name=f"zero_conv_{idx}")(h))
+        return outputs

@@ -58,7 +58,11 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+        groups = self.num_groups
+        C = x.shape[-1]
+        while C % groups:  # tiny test configs have < 32 channels
+            groups //= 2
+        x = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
                          use_bias=self.use_scale_bias,
                          use_scale=self.use_scale_bias,
                          dtype=jnp.float32, name="norm")(x.astype(jnp.float32))

@@ -1,0 +1,201 @@
+"""SD-1.5 conditional UNet in flax, NHWC, with ControlNet residual injection
+and FreeU.
+
+Architecture parity with HF `UNet2DConditionModel` as frozen by the reference
+(`train_controlnet.py:810-814`, used at `train_controlnet.py:1113-1122` and
+`pipeline.py:358-367` with `down_block_additional_residuals` /
+`mid_block_additional_residual`).  FreeU parity with the settings enabled at
+`validation.py:106`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffcodec_tpu.config import UNetConfig
+from diffcodec_tpu.models.layers import (Downsample2D, GroupNorm32,
+                                         ResnetBlock2D, TimestepEmbedding,
+                                         Transformer2D, Upsample2D,
+                                         timestep_embedding)
+
+
+def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
+    """FreeU low-frequency scaling of skip features (NHWC).
+
+    FFT over the spatial dims; the centred [2*threshold, 2*threshold]
+    low-frequency block is scaled by `scale`.
+    """
+    orig_dtype = x.dtype
+    B, H, W, C = x.shape
+    xf = jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2))
+    xf = jnp.fft.fftshift(xf, axes=(1, 2))
+    crow, ccol = H // 2, W // 2
+    rows = jnp.arange(H)[None, :, None, None]
+    cols = jnp.arange(W)[None, None, :, None]
+    in_box = ((rows >= crow - threshold) & (rows < crow + threshold) &
+              (cols >= ccol - threshold) & (cols < ccol + threshold))
+    mask = jnp.where(in_box, scale, 1.0)
+    xf = xf * mask
+    xf = jnp.fft.ifftshift(xf, axes=(1, 2))
+    out = jnp.fft.ifftn(xf, axes=(1, 2)).real
+    return out.astype(orig_dtype)
+
+
+def apply_freeu(resolution_idx: int, hidden: jnp.ndarray, res: jnp.ndarray,
+                s1: float, s2: float, b1: float, b2: float):
+    """Scale backbone half-channels by b*, fourier-filter the skip by s*."""
+    C = hidden.shape[-1]
+    half = C // 2
+    if resolution_idx == 0:
+        hidden = hidden.at[..., :half].multiply(b1)
+        res = fourier_filter(res, 1, s1)
+    elif resolution_idx == 1:
+        hidden = hidden.at[..., :half].multiply(b2)
+        res = fourier_filter(res, 1, s2)
+    return hidden, res
+
+
+class CrossAttnDownBlock(nn.Module):
+    out_channels: int
+    layers: int
+    has_attn: bool
+    heads: int
+    transformer_depth: int
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        res_out = []
+        for j in range(self.layers):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{j}")(x, temb)
+            if self.has_attn:
+                x = Transformer2D(self.heads, self.out_channels // self.heads,
+                                  depth=self.transformer_depth,
+                                  dtype=self.dtype,
+                                  name=f"attentions_{j}")(x, context)
+            res_out.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             name="downsample")(x)
+            res_out.append(x)
+        return x, res_out
+
+
+class MidBlock(nn.Module):
+    channels: int
+    heads: int
+    transformer_depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        x = ResnetBlock2D(self.channels, dtype=self.dtype,
+                          name="resnets_0")(x, temb)
+        x = Transformer2D(self.heads, self.channels // self.heads,
+                          depth=self.transformer_depth, dtype=self.dtype,
+                          name="attentions_0")(x, context)
+        return ResnetBlock2D(self.channels, dtype=self.dtype,
+                             name="resnets_1")(x, temb)
+
+
+class CrossAttnUpBlock(nn.Module):
+    out_channels: int
+    layers: int
+    has_attn: bool
+    heads: int
+    transformer_depth: int
+    add_upsample: bool
+    resolution_idx: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_stack: list, temb, context,
+                 freeu: Optional[Tuple[float, float, float, float]] = None):
+        for j in range(self.layers):
+            res = res_stack.pop()
+            if freeu is not None and self.resolution_idx in (0, 1):
+                s1, s2, b1, b2 = freeu
+                x, res = apply_freeu(self.resolution_idx, x, res,
+                                     s1=s1, s2=s2, b1=b1, b2=b2)
+            x = jnp.concatenate([x, res], axis=-1)
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{j}")(x, temb)
+            if self.has_attn:
+                x = Transformer2D(self.heads, self.out_channels // self.heads,
+                                  depth=self.transformer_depth,
+                                  dtype=self.dtype,
+                                  name=f"attentions_{j}")(x, context)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsample")(x)
+        return x
+
+
+class UNet2DConditionModel(nn.Module):
+    """Text/time-conditioned denoising UNet with ControlNet injection."""
+    cfg: UNetConfig = UNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 down_block_additional_residuals: Optional[Sequence] = None,
+                 mid_block_additional_residual: Optional[jnp.ndarray] = None,
+                 freeu: Optional[Tuple[float, float, float, float]] = None):
+        c = self.cfg
+        if timesteps.ndim == 0:
+            timesteps = timesteps[None]
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        t_emb = timestep_embedding(timesteps, c.block_out_channels[0])
+        temb = TimestepEmbedding(c.block_out_channels[0] * 4,
+                                 dtype=self.dtype,
+                                 name="time_embedding")(t_emb.astype(self.dtype))
+        context = encoder_hidden_states.astype(self.dtype)
+        sample = sample.astype(self.dtype)
+
+        x = nn.Conv(c.block_out_channels[0], (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv_in")(sample)
+        res_stack = [x]
+        for i, ch in enumerate(c.block_out_channels):
+            is_last = i == len(c.block_out_channels) - 1
+            x, res_out = CrossAttnDownBlock(
+                out_channels=ch, layers=c.layers_per_block,
+                has_attn=c.cross_attention_blocks[i], heads=c.attention_heads,
+                transformer_depth=c.transformer_depth,
+                add_downsample=not is_last, dtype=self.dtype,
+                name=f"down_blocks_{i}")(x, temb, context)
+            res_stack.extend(res_out)
+
+        if down_block_additional_residuals is not None:
+            res_stack = [r + a for r, a in
+                         zip(res_stack, down_block_additional_residuals)]
+
+        x = MidBlock(c.block_out_channels[-1], heads=c.attention_heads,
+                     transformer_depth=c.transformer_depth, dtype=self.dtype,
+                     name="mid_block")(x, temb, context)
+        if mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual
+
+        rev_channels = list(reversed(c.block_out_channels))
+        rev_attn = list(reversed(c.cross_attention_blocks))
+        for i, ch in enumerate(rev_channels):
+            is_last = i == len(rev_channels) - 1
+            x = CrossAttnUpBlock(
+                out_channels=ch, layers=c.layers_per_block + 1,
+                has_attn=rev_attn[i], heads=c.attention_heads,
+                transformer_depth=c.transformer_depth,
+                add_upsample=not is_last, resolution_idx=i,
+                dtype=self.dtype,
+                name=f"up_blocks_{i}")(x, res_stack, temb, context,
+                                       freeu=freeu)
+        assert not res_stack
+
+        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(c.out_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="conv_out")(x)

@@ -1,0 +1,81 @@
+"""Device mesh construction and sharding rules.
+
+The reference's distributed story is DDP (HF accelerate / NCCL,
+`train_control.sh:19`, `cmp/utils/distributed_utils.py`) plus DeepSpeed
+ZeRO-1/2 optimizer-state sharding (`controlnet/deepspeed_config.json`).
+TPU-native equivalent: one `jax.sharding.Mesh` with axes
+
+    data  — batch (DP over GOP inter-frames / 1080p tiles / train batch)
+    fsdp  — parameter & optimizer-state sharding (the ZeRO analogue)
+
+XLA inserts all collectives (psum for grads over `data`, all-gather /
+reduce-scatter for fsdp-sharded params) — no hand-written NCCL-style code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffcodec_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    fsdp = max(1, cfg.fsdp_size)
+    if n % fsdp:
+        raise ValueError(f"{n} devices not divisible by fsdp={fsdp}")
+    data = cfg.data_size if cfg.data_size > 0 else n // fsdp
+    if data * fsdp != n:
+        raise ValueError(f"mesh {data}x{fsdp} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, fsdp)
+    return Mesh(dev_array, (cfg.data_axis, cfg.fsdp_axis))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _fsdp_spec(shape, fsdp_axis: str, fsdp_size: int) -> P:
+    """Shard the largest dimension divisible by the fsdp axis size.
+
+    Falls back to replication for params too small / indivisible (ZeRO-style
+    mostly-sharded is enough; XLA handles the all-gathers).
+    """
+    if fsdp_size <= 1 or not shape:
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
+            spec = [None] * len(shape)
+            spec[i] = fsdp_axis
+            return P(*spec)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding tree for a param pytree: fsdp-shard each leaf's largest
+    divisible dim (optimizer state created from these inherits the layout)."""
+    fsdp_axis = mesh.axis_names[1]
+    fsdp_size = mesh.shape[fsdp_axis]
+
+    def leaf(p):
+        return NamedSharding(mesh, _fsdp_spec(p.shape, fsdp_axis, fsdp_size))
+
+    return jax.tree.map(leaf, params)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

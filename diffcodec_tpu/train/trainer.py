@@ -1,0 +1,181 @@
+"""ControlNet training harness: optax + pjit over the device mesh.
+
+Parity targets (`train_controlnet.py`):
+  * AdamW over controlnet params only; frozen vae/unet/text encoder
+    (:871-873, :914-935)
+  * diffusers-style LR schedules with warmup (:968-975)
+  * grad clipping by global norm 1.0 (:1160-1162)
+  * gradient accumulation (accelerate `--gradient_accumulation_steps`)
+  * the training step itself (:1076-1166): vae-encode gt, add noise at
+    uniform random t, controlnet -> unet -> mse (+ pixel losses)
+
+TPU-native: a single jitted `train_step` with batch sharded over the mesh
+'data' axis and params/opt-state over 'fsdp' (ZeRO analogue); gradients are
+averaged by XLA-inserted collectives, not hand-written all-reduce
+(`cmp/utils/distributed_utils.py:12-32` equivalent comes for free).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffcodec_tpu.config import TrainConfig
+from diffcodec_tpu.parallel.mesh import (batch_sharding, param_shardings,
+                                         replicated)
+from diffcodec_tpu.sampling.schedulers import NoiseSchedule
+from diffcodec_tpu.train.losses import diffusion_loss, pixel_losses
+
+
+def make_lr_schedule(cfg: TrainConfig):
+    """diffusers `get_scheduler` parity for the common cases."""
+    base = cfg.learning_rate
+    warm = cfg.lr_warmup_steps
+    total = cfg.max_train_steps
+    if cfg.lr_scheduler == "constant":
+        return optax.constant_schedule(base)
+    if cfg.lr_scheduler == "constant_with_warmup":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warm),
+             optax.constant_schedule(base)], [warm])
+    if cfg.lr_scheduler == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warm),
+             optax.linear_schedule(base, 0.0, max(total - warm, 1))], [warm])
+    if cfg.lr_scheduler == "cosine":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warm),
+             optax.cosine_decay_schedule(base, max(total - warm, 1))], [warm])
+    raise ValueError(f"unknown lr scheduler {cfg.lr_scheduler!r}")
+
+
+def make_optimizer(cfg: TrainConfig):
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(make_lr_schedule(cfg), b1=cfg.adam_beta1,
+                    b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
+                    weight_decay=cfg.adam_weight_decay),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any              # trainable controlnet params
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlNetTrainer:
+    """Bundles the frozen stack + trainable controlnet into a train step.
+
+    `frozen` holds {'unet', 'vae'(, 'text')} param trees; the text encoder
+    runs outside the step (embeddings precomputed by the data pipeline or
+    passed in), mirroring how the reference computes them inline but frozen.
+    """
+    unet: Any
+    controlnet: Any
+    vae: Any
+    schedule: NoiseSchedule
+    config: TrainConfig
+    lpips: Any = None
+
+    def loss_fn(self, cn_params, frozen, batch, rng):
+        """batch: img_gt [B,H,W,3] in [-1,1]; cond [B,H,W,6]; flow [B,H,W,4];
+        text_embeds [B,L,D]."""
+        cfg = self.config
+        rng_noise, rng_t, rng_lat = jax.random.split(rng, 3)
+        img_gt = batch["image"]
+        B = img_gt.shape[0]
+
+        mean, logvar = self.vae.apply(frozen["vae"], img_gt,
+                                      method=self.vae.encode)
+        std = jnp.exp(0.5 * logvar)
+        latents = mean + std * jax.random.normal(rng_lat, mean.shape,
+                                                 mean.dtype)
+        latents = latents * self.vae.cfg.scaling_factor
+
+        noise = jax.random.normal(rng_noise, latents.shape, jnp.float32)
+        timesteps = jax.random.randint(
+            rng_t, (B,), 0, self.schedule.cfg.num_train_timesteps)
+        noisy = self.schedule.add_noise(latents, noise, timesteps)
+
+        down, mid = self.controlnet.apply(
+            cn_params, noisy, timesteps, batch["text_embeds"],
+            batch["cond"], batch["flow"])
+        model_pred = self.unet.apply(
+            frozen["unet"], noisy, timesteps, batch["text_embeds"],
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid)
+
+        loss_mse = diffusion_loss(self.schedule, model_pred, noise, latents,
+                                  timesteps)
+        loss = loss_mse
+        metrics = {"loss_mse": loss_mse}
+        if cfg.lpips_weight or cfg.edge_weight:
+            lp, edge = pixel_losses(
+                self.schedule, self.vae, frozen["vae"], noisy, model_pred,
+                timesteps, img_gt,
+                lpips_model=self.lpips if cfg.lpips_weight else None,
+                lpips_params=frozen.get("lpips"))
+            if cfg.lpips_weight:
+                loss = loss + cfg.lpips_weight * lp
+                metrics["loss_lpips"] = lp
+            if cfg.edge_weight:
+                loss = loss + cfg.edge_weight * edge
+                metrics["loss_edge"] = edge
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(self, state: TrainState, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.params, frozen, batch, rng)
+        return state.apply_gradients(grads), metrics
+
+    def shard_state(self, mesh, state: TrainState) -> TrainState:
+        """Device-put params and optimizer state with fsdp sharding (the
+        ZeRO analogue: adam moments inherit the same layout rule)."""
+        from diffcodec_tpu.parallel.mesh import _fsdp_spec
+        fsdp_axis = mesh.axis_names[1]
+        fsdp_size = mesh.shape[fsdp_axis]
+
+        def put(x):
+            if getattr(x, "ndim", 0) > 0:
+                sh = NamedSharding(mesh, _fsdp_spec(x.shape, fsdp_axis,
+                                                    fsdp_size))
+            else:
+                sh = replicated(mesh)
+            return jax.device_put(x, sh)
+
+        return state.replace(step=jax.device_put(state.step,
+                                                 replicated(mesh)),
+                             params=jax.tree.map(put, state.params),
+                             opt_state=jax.tree.map(put, state.opt_state))
+
+    def jit_train_step(self, mesh):
+        """Jitted train step: shard state via `shard_state` first; XLA
+        propagates committed input shardings and inserts the gradient psum
+        over 'data' plus fsdp all-gathers/reduce-scatters."""
+        return jax.jit(self.train_step, donate_argnums=(0,))

@@ -1,0 +1,105 @@
+"""End-to-end tiny-model pipeline test: jitted denoise loop + VAE decode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffcodec_tpu.config import (ControlNetConfig, SamplerConfig,
+                                  SchedulerConfig, UNetConfig, VAEConfig)
+from diffcodec_tpu.models.controlnet import DualFlowControlNet
+from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
+from diffcodec_tpu.models.vae import AutoencoderKL
+from diffcodec_tpu.sampling.pipeline import DualFlowPipeline
+from diffcodec_tpu.sampling.schedulers import NoiseSchedule
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline_setup():
+    rng = jax.random.PRNGKey(0)
+    unet_cfg = UNetConfig.tiny()
+    cn_cfg = ControlNetConfig.tiny()
+    # tiny VAE with 2 levels -> /2; pipeline assumes /8: use a cfg with
+    # 4 levels but tiny widths so /8 holds
+    vae_cfg = VAEConfig(base_channels=8, channel_mults=(1, 1, 2, 2),
+                        layers_per_block=1)
+    unet = UNet2DConditionModel(unet_cfg)
+    controlnet = DualFlowControlNet(cn_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+
+    B, H = 1, 32
+    h = H // 8
+    sample = jnp.zeros((B, h, h, 4))
+    t = jnp.asarray([0])
+    ctx = jnp.zeros((B, 5, unet_cfg.cross_attention_dim))
+    cond = jnp.zeros((B, H, H, 6))
+    flow = jnp.zeros((B, H, H, 4))
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {
+        "unet": unet.init(k1, sample, t, ctx),
+        "controlnet": controlnet.init(k2, sample, t, ctx, cond, flow),
+        "vae": vae.init(k3, jnp.zeros((B, H, H, 3))),
+    }
+    return unet, controlnet, vae, schedule, params
+
+
+def test_pipeline_sample_end_to_end(tiny_pipeline_setup):
+    unet, controlnet, vae, schedule, params = tiny_pipeline_setup
+    sampler = SamplerConfig(num_inference_steps=3, guidance_scale=2.0,
+                            freeu=False)
+    pipe = DualFlowPipeline(unet=unet, controlnet=controlnet, vae=vae,
+                            schedule=schedule, sampler=sampler)
+    B, H = 1, 32
+    rng = jax.random.PRNGKey(42)
+    text = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 32)) * 0.1
+    uncond = jnp.zeros((B, 5, 32))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 6))
+    flow = jnp.zeros((B, H, H, 4))
+    images = pipe.sample(params, rng, text, uncond, cond, flow)
+    assert images.shape == (B, H, H, 3)
+    assert np.isfinite(np.asarray(images)).all()
+    assert np.abs(np.asarray(images)).max() <= 1.0
+
+
+def test_pipeline_denoise_deterministic_and_guidance_sensitivity(
+        tiny_pipeline_setup):
+    unet, controlnet, vae, schedule, params = tiny_pipeline_setup
+    B, H = 1, 32
+    latents = jax.random.normal(jax.random.PRNGKey(7), (B, H // 8, H // 8, 4))
+    text = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 32)) * 0.1
+    uncond = jnp.zeros((B, 5, 32))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 6))
+    flow = jnp.zeros((B, H, H, 4))
+
+    def run(gs):
+        pipe = DualFlowPipeline(
+            unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+            sampler=SamplerConfig(num_inference_steps=2, guidance_scale=gs,
+                                  freeu=False))
+        return np.asarray(pipe.denoise(params, latents, text, uncond, cond,
+                                       flow))
+
+    a = run(2.0)
+    b = run(2.0)
+    np.testing.assert_array_equal(a, b)  # deterministic
+    c = run(1.0)  # no CFG path
+    assert np.isfinite(c).all()
+    assert a.shape == c.shape
+
+
+def test_pipeline_guess_mode(tiny_pipeline_setup):
+    unet, controlnet, vae, schedule, params = tiny_pipeline_setup
+    B, H = 1, 32
+    latents = jax.random.normal(jax.random.PRNGKey(8), (B, H // 8, H // 8, 4))
+    text = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 32)) * 0.1
+    uncond = jnp.zeros((B, 5, 32))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 6))
+    flow = jnp.zeros((B, H, H, 4))
+    pipe = DualFlowPipeline(
+        unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+        sampler=SamplerConfig(num_inference_steps=2, guidance_scale=2.0,
+                              guess_mode=True, freeu=False))
+    out = pipe.denoise(params, latents, text, uncond, cond, flow)
+    assert np.isfinite(np.asarray(out)).all()
