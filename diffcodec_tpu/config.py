@@ -43,9 +43,11 @@ class UNetConfig:
 
     @classmethod
     def tiny(cls):
-        return cls(block_out_channels=(32, 64), layers_per_block=1,
+        # 3 blocks with a repeated final width so the ControlNet's shared
+        # deepest-FDN wiring (flownet.py:104-106) is exercised
+        return cls(block_out_channels=(32, 64, 64), layers_per_block=1,
                    cross_attention_dim=32, attention_heads=2,
-                   cross_attention_blocks=(True, False))
+                   cross_attention_blocks=(True, False, False))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,7 +61,7 @@ class ControlNetConfig:
 
     @classmethod
     def tiny(cls):
-        return cls(unet=UNetConfig.tiny(), inject_channels=(32, 64))
+        return cls(unet=UNetConfig.tiny(), inject_channels=(32, 64, 64))
 
 
 @dataclasses.dataclass(frozen=True)

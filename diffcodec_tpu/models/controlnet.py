@@ -64,7 +64,20 @@ class ControlNetTrunk(nn.Module):
 
         x = nn.Conv(c.block_out_channels[0], (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
-        x = FDN(dtype=self.dtype, name="fdn_0")(x, pyramid[0])
+        # FDN modules are shared per (pyramid level, feature width): the
+        # reference's fdn08 instance is applied after BOTH of the last two
+        # down blocks (flownet.py:104-106), which have equal widths in the
+        # SD-1.5 config
+        fdns = {}
+
+        def apply_fdn(x, lvl):
+            key = (lvl, x.shape[-1])
+            if key not in fdns:
+                fdns[key] = FDN(dtype=self.dtype,
+                                name=f"fdn_{lvl}_{x.shape[-1]}")
+            return fdns[key](x, pyramid[lvl])
+
+        x = apply_fdn(x, 0)
 
         res_stack = [x]
         for i, ch in enumerate(c.block_out_channels):
@@ -79,7 +92,7 @@ class ControlNetTrunk(nn.Module):
             # deepest pyramid level reused for the final (non-downsampling)
             # block, flownet.py:104-106
             lvl = min(i + 1, len(inject) - 1)
-            x = FDN(dtype=self.dtype, name=f"fdn_{lvl}_{i}")(x, pyramid[lvl])
+            x = apply_fdn(x, lvl)
 
         x = MidBlock(c.block_out_channels[-1], heads=c.attention_heads,
                      transformer_depth=c.transformer_depth, dtype=self.dtype,

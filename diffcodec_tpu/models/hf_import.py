@@ -292,24 +292,25 @@ def controlnet_name_map(cfg: ControlNetConfig) -> List[Entry]:
              "conv_kernel"),
             ("controlnet_mid_block.bias",
              ("trunk", "controlnet_mid_block", "conv", "bias"), "bias")]
-    # FDNs: reference names fdn64/fdn32/fdn16/fdn08 map onto trunk fdn_0 and
-    # fdn_{lvl}_{i} (deepest level reused for the last block)
+    # FDNs: reference names fdn64/fdn32/fdn16/fdn08 map onto the trunk's
+    # per-(level, width) shared modules fdn_{lvl}_{ch} (the deepest torch
+    # instance is applied after both of the last two blocks).
     n_blocks = len(u.block_out_channels)
     n_levels = len(cfg.inject_channels)
     fdn_torch = ["fdn64", "fdn32", "fdn16", "fdn08"][:n_levels]
-    fdn_flax = [("fdn_0",)]
+    fdn_pairs = [(fdn_torch[0], (0, u.block_out_channels[0]))]
     for i in range(n_blocks):
         lvl = min(i + 1, n_levels - 1)
-        fdn_flax.append((f"fdn_{lvl}_{i}",))
-    fdn_torch_per_flax = [fdn_torch[0]] + [
-        fdn_torch[min(i + 1, n_levels - 1)] for i in range(n_blocks)]
-    seen = {}
-    for t, f in zip(fdn_torch_per_flax, fdn_flax):
-        out += _gn(f"{t}.param_free_norm", ("trunk",) + f +
-                   ("param_free_norm",))
+        fdn_pairs.append((fdn_torch[lvl], (lvl, u.block_out_channels[i])))
+    seen = set()
+    for t, (lvl, ch) in fdn_pairs:
+        if (lvl, ch) in seen:
+            continue  # shared flax module, already mapped
+        seen.add((lvl, ch))
+        f = (f"fdn_{lvl}_{ch}",)
+        # param_free_norm is affine=False (control_utils.py:24) -> no params
         out += _conv(f"{t}.conv_gamma", ("trunk",) + f + ("conv_gamma",))
         out += _conv(f"{t}.conv_beta", ("trunk",) + f + ("conv_beta",))
-        seen[t] = f
     # feature extractor
     fe = ("feature_extractor",)
     for side, torch_side in (("first_pre", "first_pre_extractor"),

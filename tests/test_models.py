@@ -50,12 +50,14 @@ def test_unet_shapes_and_residual_injection(rng):
     out = unet.apply(params, sample, t, ctx)
     assert out.shape == (B, h, w, 4)
 
-    # residual injection: 1 conv_in + 1 resnet/block + 1 downsample = 4
-    # residuals for the 2-block tiny config
+    # residual injection for the 3-block tiny config: conv_in + per block
+    # (1 resnet + downsample except last) = 6 residuals
     down = [jnp.zeros((B, h, w, 32)), jnp.zeros((B, h, w, 32)),
             jnp.zeros((B, h // 2, w // 2, 32)),
-            jnp.zeros((B, h // 2, w // 2, 64))]
-    mid = jnp.zeros((B, h // 2, w // 2, 64))
+            jnp.zeros((B, h // 2, w // 2, 64)),
+            jnp.zeros((B, h // 4, w // 4, 64)),
+            jnp.zeros((B, h // 4, w // 4, 64))]
+    mid = jnp.zeros((B, h // 4, w // 4, 64))
     out_zero = unet.apply(params, sample, t, ctx,
                           down_block_additional_residuals=down,
                           mid_block_additional_residual=mid)
@@ -135,11 +137,11 @@ def test_dual_flow_controlnet_outputs(rng):
     flow = jnp.zeros((B, H, H, 4))
     params = net.init(rng, sample, t, ctx, cond, flow)
     down, mid = net.apply(params, sample, t, ctx, cond, flow)
-    # 2 blocks x 1 layer: conv_in + res0 + down0 + res1 = 4 residuals
-    assert len(down) == 4
+    # 3 blocks x 1 layer: conv_in + res0 + down0 + res1 + down1 + res2 = 6
+    assert len(down) == 6
     assert down[0].shape == (B, h, h, 32)
-    assert down[-1].shape == (B, h // 2, h // 2, 64)
-    assert mid.shape == (B, h // 2, h // 2, 64)
+    assert down[-1].shape == (B, h // 4, h // 4, 64)
+    assert mid.shape == (B, h // 4, h // 4, 64)
     # zero-conv heads -> zeros at init
     for d in down:
         np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-7)
@@ -165,5 +167,5 @@ def test_res_controlnet_outputs(rng):
     warp = jnp.ones((B, H, H, 3)) * 0.3
     params = net.init(rng, sample, t, ctx, cond, flow, warp)
     down, mid = net.apply(params, sample, t, ctx, cond, flow, warp)
-    assert len(down) == 4
-    assert mid.shape == (B, h // 2, h // 2, 64)
+    assert len(down) == 6
+    assert mid.shape == (B, h // 4, h // 4, 64)
