@@ -196,15 +196,22 @@ class CMP(nn.Module):
     fmax: float = 50.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, image, sparse, train: bool = False):
-        img_enc, skip = ResNet50FCN(self.img_enc_dim, dtype=self.dtype,
-                                    name="image_encoder")(image, train)
-        flow_enc = ShallowNet(self.sparse_enc_dim, dtype=self.dtype,
-                              name="flow_encoder")(sparse, train)
-        dec = MotionDecoderSkipLayer(2 * self.nbins, dtype=self.dtype,
-                                     name="flow_decoder")(
+    def setup(self):
+        self.image_encoder = ResNet50FCN(self.img_enc_dim, dtype=self.dtype)
+        self.flow_encoder = ShallowNet(self.sparse_enc_dim, dtype=self.dtype)
+        self.flow_decoder = MotionDecoderSkipLayer(2 * self.nbins,
+                                                   dtype=self.dtype)
+
+    def logits(self, image, sparse, train: bool = False):
+        """Raw decoder bin logits (pre-Fuser), the DiscreteLoss target
+        (`cmp/models/cmp.py:57-60` trains on these)."""
+        img_enc, skip = self.image_encoder(image, train)
+        flow_enc = self.flow_encoder(sparse, train)
+        return self.flow_decoder(
             jnp.concatenate([img_enc, flow_enc], axis=-1), skip, train)
+
+    def __call__(self, image, sparse, train: bool = False):
+        dec = self.logits(image, sparse, train)
         flow = fuse_discrete_flow(dec, self.nbins, self.fmax)
         H, W = image.shape[1], image.shape[2]
         if flow.shape[1] != H or flow.shape[2] != W:
