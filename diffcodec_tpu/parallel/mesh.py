@@ -76,6 +76,16 @@ def param_shardings(mesh: Mesh, params) -> dict:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Device-put a host batch pytree with the batch axis sharded.
+
+    Leaves whose batch dim is not divisible by the data-axis size fall back
+    to replication (e.g. tiny smoke-test batches on an 8-device mesh)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    rep = replicated(mesh)
+    data_size = mesh.shape[mesh.axis_names[0]]
+
+    def put(a):
+        divisible = getattr(a, "ndim", 0) > 0 and a.shape[0] % data_size == 0
+        return jax.device_put(a, sh if divisible else rep)
+
+    return jax.tree.map(put, batch)

@@ -37,7 +37,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     total_limit: Optional[int] = None) -> str:
     """Save pytree `state` as checkpoint-{step}; rotate old ones."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    existing = list_checkpoints(ckpt_dir)
+    # re-saving the same step overwrites without rotating others
+    existing = [(s, p) for s, p in list_checkpoints(ckpt_dir) if s != step]
     if total_limit is not None and len(existing) >= total_limit:
         # same policy as train_controlnet.py:1180-1197: delete oldest so the
         # new save keeps the count at the limit
@@ -45,6 +46,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
         for _, path in existing[:n_remove]:
             shutil.rmtree(path, ignore_errors=True)
     path = os.path.join(ckpt_dir, f"checkpoint-{step}")
+    if os.path.exists(path):  # overwrite (e.g. final save == periodic save)
+        shutil.rmtree(path, ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path) + "/state",
                jax.device_get(state))

@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Train the DualFlowControlNet (or ResControlNet) on TPU.
+
+CLI parity with the reference harness (`train_controlnet.py:320-680` /
+`train_rescontrolnet.py`, launched via `train_control.sh`) for the flags
+that matter; the accelerate/DeepSpeed machinery is replaced by the
+data x fsdp mesh (see diffcodec_tpu/parallel).
+
+Example:
+  python scripts/train_controlnet.py \
+      --index_file data/index.txt --caption_file data/captions.txt \
+      --output_dir runs/dualflow --resolution 512 \
+      --train_batch_size 8 --learning_rate 1e-5 --max_train_steps 100000 \
+      --perceptual_weight 0.01 --edge_weight 0.05 \
+      --checkpointing_steps 500 --checkpoints_total_limit 5 \
+      --resume_from_checkpoint latest --fsdp 1
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # data
+    p.add_argument("--index_file", required=True)
+    p.add_argument("--caption_file", default="")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--dataloader_drop_text_prob", type=float, default=0.3)
+    # model
+    p.add_argument("--model_variant", choices=["dualflow", "res"],
+                   default="dualflow")
+    p.add_argument("--pretrained_checkpoint", default="",
+                   help="torch state dict (safetensors/.bin) to warm-start "
+                        "the controlnet from (shape-filtered)")
+    p.add_argument("--sd_checkpoint_dir", default="",
+                   help="dir with SD-1.5 torch state dicts (vae/unet/text)")
+    # optimization (train_controlnet.py flag names)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "linear",
+                            "cosine"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--max_train_steps", type=int, default=100000)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--perceptual_weight", type=float, default=0.0)
+    p.add_argument("--edge_weight", type=float, default=0.0)
+    p.add_argument("--mixed_precision", default="bf16",
+                   choices=["no", "bf16"])
+    p.add_argument("--seed", type=int, default=0)
+    # checkpointing
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", default="",
+                   help="'latest' or a step number")
+    # validation
+    p.add_argument("--validation_steps", type=int, default=0)
+    p.add_argument("--validation_index_file", default="")
+    # parallelism
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="fsdp axis size (ZeRO-style sharding degree)")
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model configs (harness smoke tests)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffcodec_tpu.config import (CLIPTextConfig, ControlNetConfig,
+                                      MeshConfig, SchedulerConfig,
+                                      TrainConfig, UNetConfig, VAEConfig)
+    from diffcodec_tpu.models.clip_text import CLIPTextEncoder
+    from diffcodec_tpu.models.controlnet import (DualFlowControlNet,
+                                                 ResControlNet)
+    from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
+    from diffcodec_tpu.models.vae import AutoencoderKL
+    from diffcodec_tpu.parallel.mesh import make_mesh, shard_batch
+    from diffcodec_tpu.sampling.schedulers import NoiseSchedule
+    from diffcodec_tpu.train.checkpoint import (restore_checkpoint,
+                                                save_checkpoint,
+                                                warm_start_filter)
+    from diffcodec_tpu.train.dataset import UniDataset
+    from diffcodec_tpu.train.residue import make_residue_batch
+    from diffcodec_tpu.train.trainer import (ControlNetTrainer, TrainState,
+                                             make_optimizer)
+    from diffcodec_tpu.utils.jax_cache import enable_persistent_cache
+    from diffcodec_tpu.utils.logging import (MetricsLogger, StepTimer,
+                                             create_logger)
+    from diffcodec_tpu.utils.tokenizer import default_tokenizer
+
+    enable_persistent_cache()
+    logger = create_logger("train")
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+
+    if args.tiny:
+        unet_cfg = UNetConfig.tiny()
+        cn_cfg = ControlNetConfig.tiny()
+        vae_cfg = VAEConfig(base_channels=8, channel_mults=(1, 1, 2, 2),
+                            layers_per_block=1)
+        clip_cfg = CLIPTextConfig.tiny()
+    else:
+        unet_cfg = UNetConfig()
+        cn_cfg = ControlNetConfig(unet=unet_cfg)
+        vae_cfg = VAEConfig()
+        clip_cfg = CLIPTextConfig()
+    unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    text_encoder = CLIPTextEncoder(clip_cfg, dtype=dtype)
+    if args.model_variant == "dualflow":
+        controlnet = DualFlowControlNet(cn_cfg, dtype=dtype)
+    else:
+        controlnet = ResControlNet(cn_cfg, dtype=dtype)
+
+    rng = jax.random.PRNGKey(args.seed)
+    B, H = args.train_batch_size, args.resolution
+    h = H // 8
+    z = jnp.zeros
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    logger.info("initialising models (SD-1.5 scale)")
+    init_args = [z((1, h, h, 4)), z((1,), jnp.int32),
+                 z((1, clip_cfg.max_length, unet_cfg.cross_attention_dim)),
+                 z((1, H, H, 6)), z((1, H, H, 4))]
+    if args.model_variant == "res":
+        init_args.append(z((1, H, H, 3)))
+    cn_params = controlnet.init(k1, *init_args)
+    frozen = {
+        "unet": unet.init(k2, init_args[0], init_args[1], init_args[2]),
+        "vae": vae.init(k3, z((1, 64, 64, 3))),
+        "text": text_encoder.init(k4, z((1, clip_cfg.max_length),
+                                        jnp.int32)),
+    }
+
+    # optional warm starts from torch checkpoints
+    if args.sd_checkpoint_dir:
+        from diffcodec_tpu.models import hf_import
+        import torch
+        for name, model_cfg, nm_fn in (
+                ("vae", vae_cfg, hf_import.vae_name_map),
+                ("unet", unet_cfg, hf_import.unet_name_map),
+                ("text", clip_cfg, hf_import.clip_text_name_map)):
+            path = os.path.join(args.sd_checkpoint_dir, f"{name}.bin")
+            if os.path.exists(path):
+                sd = {k: v.numpy() for k, v in
+                      torch.load(path, map_location="cpu").items()}
+                frozen[name], _, _ = hf_import.convert_state_dict(
+                    sd, nm_fn(model_cfg), frozen[name], strict=False)
+                logger.info("loaded %s from %s", name, path)
+    if args.pretrained_checkpoint and os.path.exists(
+            args.pretrained_checkpoint):
+        import torch
+        sd = torch.load(args.pretrained_checkpoint, map_location="cpu")
+        from diffcodec_tpu.models.hf_import import (controlnet_name_map,
+                                                    convert_state_dict)
+        loaded, _, _ = convert_state_dict(
+            {k: v.numpy() for k, v in sd.items()},
+            controlnet_name_map(cn_cfg), cn_params, strict=False)
+        cn_params, copied = warm_start_filter(cn_params, loaded)
+        logger.info("warm-started %d tensors", copied)
+
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate, lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps, adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2, adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon, max_grad_norm=args.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        lpips_weight=args.perceptual_weight, edge_weight=args.edge_weight,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        seed=args.seed)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    trainer = ControlNetTrainer(unet=unet, controlnet=controlnet, vae=vae,
+                                schedule=schedule, config=tcfg)
+    mesh = make_mesh(MeshConfig(fsdp_size=args.fsdp))
+    state = TrainState.create(cn_params, make_optimizer(tcfg))
+
+    start_step = 0
+    if args.resume_from_checkpoint:
+        step = None if args.resume_from_checkpoint == "latest" else \
+            int(args.resume_from_checkpoint)
+        restored, start_step = restore_checkpoint(args.output_dir, state,
+                                                  step)
+        if restored is not None:
+            state = restored
+            logger.info("resumed from step %d", start_step)
+    state = trainer.shard_state(mesh, state)
+    step_fn = trainer.jit_train_step(mesh)
+
+    dataset = UniDataset(args.caption_file or "/dev/null", args.index_file,
+                         resolution=args.resolution,
+                         drop_txt_prob=args.dataloader_drop_text_prob,
+                         seed=args.seed)
+    tokenizer = default_tokenizer(clip_cfg.max_length)
+
+    def embed_text(texts):
+        ids = jnp.asarray(tokenizer(texts))
+        return np.asarray(text_encoder.apply(frozen["text"], ids))
+
+    metrics_logger = MetricsLogger(os.path.join(args.output_dir, "tb"))
+    timer = StepTimer()
+    step = start_step
+    logger.info("training from step %d to %d", step, args.max_train_steps)
+    while step < args.max_train_steps:
+        for batch in dataset.iter_batches(B, text_encoder=embed_text):
+            if step >= args.max_train_steps:
+                break
+            batch.pop("text")
+            if args.model_variant == "res":
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = make_residue_batch(batch)
+            with timer:
+                state, metrics = step_fn(state, frozen,
+                                         shard_batch(mesh, batch),
+                                         jax.random.PRNGKey(args.seed))
+            step = int(state.step)
+            if step % args.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["steps_per_sec"] = timer.steps_per_sec
+                metrics_logger.log(metrics, step)
+            if args.checkpointing_steps and \
+                    step % args.checkpointing_steps == 0:
+                save_checkpoint(args.output_dir, step,
+                                jax.device_get(state),
+                                total_limit=args.checkpoints_total_limit)
+                logger.info("saved checkpoint-%d", step)
+    save_checkpoint(args.output_dir, step, jax.device_get(state),
+                    total_limit=args.checkpoints_total_limit)
+    logger.info("done at step %d", step)
+
+
+if __name__ == "__main__":
+    main()
