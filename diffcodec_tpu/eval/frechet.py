@@ -57,6 +57,33 @@ def fvd_score(videos1: np.ndarray, videos2: np.ndarray,
     return activations_to_frechet(feature_fn(videos1), feature_fn(videos2))
 
 
+def make_i3d_feature_fn(variables, batch_size: int = 4):
+    """FVD feature fn backed by the flax InceptionI3D port
+    (diffcodec_tpu.models.i3d) — runs on TPU.
+
+    `variables` = {'params', 'batch_stats'} (converted from the vendored
+    torch I3D via `i3d_name_map`/`i3d_batch_stats_map`).
+    Input videos [N,T,H,W,3] in [0,1]; returns [N, 400] logits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.i3d import InceptionI3D
+
+    model = InceptionI3D()
+    apply = jax.jit(lambda v: model.apply(variables, v))
+
+    def feature_fn(videos: np.ndarray) -> np.ndarray:
+        feats = []
+        for i in range(0, len(videos), batch_size):
+            chunk = jnp.asarray(videos[i:i + batch_size],
+                                jnp.float32) * 2.0 - 1.0
+            feats.append(np.asarray(apply(chunk)))
+        return np.concatenate(feats)
+
+    return feature_fn
+
+
 def load_i3d_torchscript(path: Optional[str] = None):
     """Wrap the reference's torchscript I3D as a numpy feature fn.
 

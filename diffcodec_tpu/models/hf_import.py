@@ -360,6 +360,8 @@ def _transform(kind: str, value: np.ndarray) -> np.ndarray:
     value = np.asarray(value)
     if kind == "conv_kernel":
         return value.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if kind == "conv3d_kernel":
+        return value.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
     if kind == "linear_kernel":
         return value.T
     return value
@@ -369,6 +371,8 @@ def _inverse_transform(kind: str, value: np.ndarray) -> np.ndarray:
     value = np.asarray(value)
     if kind == "conv_kernel":
         return value.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    if kind == "conv3d_kernel":
+        return value.transpose(4, 3, 0, 1, 2)  # THWIO -> OITHW
     if kind == "linear_kernel":
         return value.T
     return value
