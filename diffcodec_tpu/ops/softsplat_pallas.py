@@ -1,0 +1,126 @@
+"""Pallas TPU kernel for the softsplat forward scatter-add.
+
+Same one-hot two-matmul formulation as `ops/softsplat.py` (deterministic,
+MXU-friendly, no atomics) but fused into a single kernel: the per-corner
+one-hots and both contractions live entirely in VMEM, so the [q, W, C]
+transient of the XLA scan version never touches HBM.
+
+Grid: (batch, row-chunks).  The output block is the full [H, W, C] plane,
+revisited by every row-chunk (zeroed on the first, accumulated after).
+Per chunk, per corner, channels are processed in tiles to bound VMEM.
+
+Used by `splat_sum(..., impl='pallas')`; forward-only (the custom-vjp
+backward reuses the differentiable XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows, c_tile):
+    """One (batch, row-chunk) program: scatter `rows` source rows into the
+    full [H, W, C] output plane."""
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    vals = vals_ref[0].reshape(rows * W, C)             # [q, C]
+    flow = flow_ref[0].reshape(rows * W, 2)             # [q, 2]
+    q = rows * W
+
+    # absolute source coordinates of this chunk
+    row0 = chunk * rows
+    yq = (jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + row0) \
+        .reshape(q)
+    xq = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1).reshape(q)
+
+    fx = xq.astype(jnp.float32) + flow[:, 0]
+    fy = yq.astype(jnp.float32) + flow[:, 1]
+    finite = jnp.isfinite(fx) & jnp.isfinite(fy)
+    fx = jnp.where(finite, fx, -10.0)
+    fy = jnp.where(finite, fy, -10.0)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = fx - x0
+    ay = fy - y0
+
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (q, H), 1)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (q, W), 1)
+
+    for ky in (0, 1):
+        wy = ay if ky else 1.0 - ay
+        Yf = y0 + ky
+        for kx in (0, 1):
+            wx = ax if kx else 1.0 - ax
+            Xf = x0 + kx
+            valid = (Xf >= 0) & (Xf < W) & (Yf >= 0) & (Yf < H)
+            w = jnp.where(valid, wx * wy, 0.0)          # [q]
+            Yd = jnp.clip(Yf, 0, H - 1).astype(jnp.int32)
+            Xd = jnp.clip(Xf, 0, W - 1).astype(jnp.int32)
+            A = (Yd[:, None] == rows_iota).astype(jnp.float32)   # [q, H]
+            Bw = (Xd[:, None] == cols_iota).astype(jnp.float32) \
+                * w[:, None]                                     # [q, W]
+            for c0 in range(0, C, c_tile):
+                tc = min(c_tile, C - c0)
+                # M[q, X, c] = Bw[q, X] * vals[q, c]
+                M = (Bw[:, :, None] *
+                     vals[:, None, c0:c0 + tc]).reshape(q, W * tc)
+                contrib = lax.dot_general(
+                    A, M, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(H, W, tc)
+                out_ref[0, :, :, c0:c0 + tc] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def splat_sum_pallas(vals: jnp.ndarray, flow: jnp.ndarray,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Raw 'sum'-mode splat via the fused Pallas kernel.  fp32 NHWC."""
+    B, H, W, C = vals.shape
+    vals = vals.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # rows per chunk: bound the [q, W*c_tile] transient to ~2M floats
+    c_tile = min(C, 64)
+    budget = 2 * 1024 * 1024
+    rows = max(1, budget // max(W * W * c_tile, 1))
+    rows = min(rows, H)
+    n_chunks = -(-H // rows)
+    pad = n_chunks * rows - H
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # NaN-free padding with flow that lands out of range
+        flow = jnp.pad(flow, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                       constant_values=-1e6)
+
+    kernel = functools.partial(_splat_kernel, H=H, W=W, C=C, rows=rows,
+                               c_tile=c_tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, W, C),
+                         lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, rows, W, 2),
+                         lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        interpret=interpret,
+    )(vals, flow)
+    return out

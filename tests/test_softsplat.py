@@ -65,7 +65,7 @@ def _rand(shape, seed, scale=1.0):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
-@pytest.mark.parametrize("impl", ["xla", "oracle"])
+@pytest.mark.parametrize("impl", ["xla", "oracle", "pallas"])
 @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 16, 12, 5)])
 def test_splat_sum_matches_numpy(impl, shape):
     B, H, W, C = shape
