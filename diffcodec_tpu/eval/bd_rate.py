@@ -15,7 +15,20 @@ import numpy as np
 from scipy.interpolate import PchipInterpolator, interp1d
 
 
+def _dedupe(Q, logR):
+    """Collapse duplicate quality values by averaging log-rate (PCHIP needs
+    strictly increasing x; the reference would crash on ties)."""
+    uq, inv = np.unique(Q, return_inverse=True)
+    if len(uq) == len(Q):
+        return Q, logR
+    means = np.zeros(len(uq))
+    for i in range(len(uq)):
+        means[i] = logR[inv == i].mean()
+    return uq, means
+
+
 def _interp(Q, logR, extrapolate=False):
+    Q, logR = _dedupe(np.asarray(Q), np.asarray(logR))
     if len(Q) >= 3:
         return PchipInterpolator(Q, logR, extrapolate=extrapolate or None)
     return interp1d(Q, logR, fill_value="extrapolate")
