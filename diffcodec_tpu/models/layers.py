@@ -118,18 +118,59 @@ class ResnetBlock2D(nn.Module):
         return h + residual
 
 
+def _flash_self_attention(q, k, v, scale):
+    """Pallas TPU flash attention for long self-attention sequences.
+
+    Inputs [B, L, H, D]; pads head_dim to 128 lanes (zero-padded K => same
+    logits; zero-padded V columns stay zero) and seq to a block multiple.
+    The naive XLA path materializes [B, H, L, L] logits in HBM (at 64x64
+    latents that is GBs of traffic per layer); flash keeps tiles in VMEM.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    B, L, H, D = q.shape
+    Dp = max(128, (D + 127) // 128 * 128)
+    block = min(512, L)
+    Lp = (L + block - 1) // block * block
+
+    def prep(t):
+        t = t.transpose(0, 2, 1, 3)  # [B, H, L, D]
+        return jnp.pad(t, ((0, 0), (0, 0), (0, Lp - L), (0, Dp - D)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    if Lp != L:
+        # mask padded KV rows via segment ids (padding gets a different id)
+        ids = (jax.lax.broadcasted_iota(jnp.int32, (B, Lp), 1) < L)
+        seg = fa.SegmentIds(q=ids.astype(jnp.int32),
+                            kv=ids.astype(jnp.int32))
+    else:
+        seg = None
+    sizes = fa.BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block)
+    out = fa.flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
+                             sm_scale=scale, block_sizes=sizes)
+    return out[:, :, :L, :D].transpose(0, 2, 1, 3)  # [B, L, H, D]
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional cross-attention context.
 
-    Projections are bias-free q/k/v + out (SD convention).  Softmax in fp32.
+    Projections are bias-free q/k/v + out (SD convention).  Long
+    self-attention sequences (>= flash_min_len tokens on TPU) use the Pallas
+    flash kernel; everything else uses fp32-softmax einsum attention.
     """
     heads: int
     head_dim: int
     out_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    flash_min_len: int = 1024
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
@@ -144,12 +185,18 @@ class Attention(nn.Module):
         q = q.reshape(B, Lq, self.heads, self.head_dim)
         k = k.reshape(B, Lk, self.heads, self.head_dim)
         v = v.reshape(B, Lk, self.heads, self.head_dim)
-        # fp32 logits/softmax for stability; MXU-friendly einsum contraction
         scale = 1.0 / math.sqrt(self.head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                            k.astype(jnp.float32)) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        use_flash = (is_self and Lq >= self.flash_min_len and
+                     Lq == Lk and jax.default_backend() == "tpu")
+        if use_flash:
+            out = _flash_self_attention(q, k, v, scale)
+        else:
+            # fp32 logits/softmax for stability; MXU-friendly einsums
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                                k.astype(jnp.float32)) * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, Lq, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 

@@ -1,0 +1,101 @@
+"""1080p decoding via overlap tiling.
+
+Parity target: the reference's 1080p path (`patch_exp.ipynb` cell 3 +
+`patch_utils.py`): crop the conditioning to 512x512 tiles with overlap 64,
+run the diffusion pipeline per tile, merge with cosine feathering (pixels)
+or Hann blending (latents).
+
+TPU-first: all tiles of all frames form ONE batch through the jitted
+sampler (tile grids are static per resolution), so a full 1080p frame —
+or a whole GOP of them — decodes in a single pjit-able call.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffcodec_tpu.config import CodecConfig
+from diffcodec_tpu.ops.tiling import crop_into_tiles, merge_tiles
+
+
+def tile_grid(height: int, width: int, tile: Tuple[int, int],
+              overlap: int) -> List[Tuple[int, int, int, int]]:
+    """Static tile coordinates for a resolution (raster order)."""
+    dummy = np.zeros((height, width, 1), np.uint8)
+    _, coords, _ = crop_into_tiles(dummy, tile, overlap)
+    return coords
+
+
+def _crop_batch(arr: np.ndarray, coords, tile_h, tile_w) -> np.ndarray:
+    """[B, H, W, C] -> [B * n_tiles, tile_h, tile_w, C]; edge tiles are
+    padded by reflection to the full tile size (cropped again on merge)."""
+    out = []
+    for b in range(arr.shape[0]):
+        for (y1, y2, x1, x2) in coords:
+            t = arr[b, y1:y2, x1:x2]
+            ph, pw = tile_h - t.shape[0], tile_w - t.shape[1]
+            if ph or pw:
+                t = np.pad(t, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+            out.append(t)
+    return np.stack(out)
+
+
+def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
+                 cond: np.ndarray, flow: np.ndarray,
+                 tile: Tuple[int, int] = (512, 512), overlap: int = 64,
+                 feather: int = 64,
+                 tile_batch: Optional[int] = None) -> np.ndarray:
+    """Decode [B, H, W, *] conditioning at arbitrary resolution.
+
+    cond [B,H,W,6] in [0,1]; flow [B,H,W,4] full-res pixel units (flow
+    vectors are rescaled for the tile crop implicitly — crops preserve
+    pixel units).  Returns [B, H, W, 3] in [-1, 1].
+
+    tile_batch limits how many tiles go through the sampler per call
+    (None = all tiles of all frames at once).
+    """
+    B, H, W = cond.shape[:3]
+    th, tw = tile
+    if H <= th and W <= tw and (H, W) == (th, tw):
+        out = pipe.sample(params, rng, text_embeds, uncond_embeds,
+                          jnp.asarray(cond), jnp.asarray(flow))
+        return np.asarray(out)
+
+    coords = tile_grid(H, W, tile, overlap)
+    n_tiles = len(coords)
+    cond_t = _crop_batch(cond, coords, th, tw)
+    flow_t = _crop_batch(flow, coords, th, tw)
+
+    # broadcast text embeddings per tile
+    def rep(e):
+        e = np.asarray(e)
+        return np.repeat(e, n_tiles, axis=0)
+
+    text_t = rep(text_embeds)
+    uncond_t = rep(uncond_embeds)
+
+    total = cond_t.shape[0]
+    step = tile_batch or total
+    outs = []
+    for s in range(0, total, step):
+        sl = slice(s, s + step)
+        out = pipe.sample(params, jax.random.fold_in(rng, s),
+                          jnp.asarray(text_t[sl]), jnp.asarray(uncond_t[sl]),
+                          jnp.asarray(cond_t[sl]), jnp.asarray(flow_t[sl]))
+        outs.append(np.asarray(out, np.float32))
+    tiles_out = np.concatenate(outs)
+
+    frames = []
+    for b in range(B):
+        per_frame = []
+        for k, (y1, y2, x1, x2) in enumerate(coords):
+            t = tiles_out[b * n_tiles + k]
+            per_frame.append(t[:y2 - y1, :x2 - x1])  # drop reflect padding
+        merged = merge_tiles(per_frame, coords, (H, W), feather=feather,
+                             as_uint8=False)
+        frames.append(merged)
+    return np.clip(np.stack(frames), -1.0, 1.0)
