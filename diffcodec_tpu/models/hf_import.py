@@ -353,6 +353,24 @@ def lpips_alex_name_map() -> List[Entry]:
 
 
 # ---------------------------------------------------------------------------
+# state-dict file loading
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file (.safetensors or torch.save format,
+    the two formats the reference ships checkpoints in,
+    `validation.py:52-53` / `train_controlnet.py:822-832`) as numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
 # converter core
 # ---------------------------------------------------------------------------
 

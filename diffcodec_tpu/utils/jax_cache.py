@@ -16,6 +16,14 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
+    # Honor JAX_PLATFORMS: the axon TPU plugin ignores the env var, so
+    # mirror it into the config flag (must run before backend init).
+    env_platform = os.environ.get("JAX_PLATFORMS", "")
+    if env_platform:
+        try:
+            jax.config.update("jax_platforms", env_platform)
+        except Exception:
+            pass
     path = path or os.environ.get("DIFFCODEC_JAX_CACHE", _DEFAULT_DIR)
     # key by requested platform: CPU AOT artifacts are machine-feature
     # specific and must not be shared with entries produced while the axon

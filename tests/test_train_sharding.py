@@ -118,9 +118,12 @@ def test_sharded_train_step_matches_single_device():
                                rtol=1e-4)
     a = jax.tree.leaves(state1.params)
     b = jax.tree.leaves(state2.params)
+    # atol covers sign flips of the +-lr first Adam update on elements whose
+    # gradient is ~0 (fp reduction order differs across shardings)
+    lr = 1e-4
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-3,
-                                   atol=2e-5)
+                                   atol=3 * lr)
 
 
 def test_param_shardings_cover_tree():
