@@ -41,7 +41,10 @@ BASELINE_FPS = 0.25  # estimated reference PyTorch pipeline, see docstring
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
-    B = int(os.environ.get("BENCH_BATCH", "1"))
+    # default batch = the 7 inter frames of a GOP-8 (the decoder's real
+    # unit of work; inter frames are conditionally independent given the
+    # anchors and decode as one batch)
+    B = int(os.environ.get("BENCH_BATCH", "7"))
     H = 128 if small else 512
     steps = 5 if small else 30
     dtype = jnp.bfloat16

@@ -120,13 +120,16 @@ def _avg_pool2(x):
 
 
 def calculate_metrics_batch(orig: np.ndarray, pred: np.ndarray,
-                            psnr_skip_threshold: float = 1000.0
+                            psnr_skip_threshold: float = 1000.0,
+                            lpips_fn=None, fid_fn=None, fvd_fn=None
                             ) -> Dict[str, float]:
     """Batch metric summary over [N, H, W, C] uint8/float frames.
 
-    Parity: `test_utils.py:27-66` — mean PSNR with >1000 values skipped
-    (identical frames), mean MS-SSIM at data_range 255.  LPIPS/FID/FVD are
-    computed by their own modules when weights are available.
+    Parity: `test_utils.py:27-82` — mean PSNR with >1000 values skipped
+    (identical frames), mean MS-SSIM at data_range 255; optional LPIPS
+    (callable pred01, orig01 in [-1,1] -> [N]), FID feature fn (uint8
+    frames -> feats), and FVD feature fn (videos -> feats, frames stacked
+    as one clip like `test_utils.py:69-74`).
     """
     orig = jnp.asarray(np.asarray(orig, np.float32))
     pred = jnp.asarray(np.asarray(pred, np.float32))
@@ -134,4 +137,18 @@ def calculate_metrics_batch(orig: np.ndarray, pred: np.ndarray,
     valid = p < psnr_skip_threshold
     mean_psnr = float(p[valid].mean()) if valid.any() else float("inf")
     m = np.asarray(ms_ssim(orig, pred))
-    return {"psnr": mean_psnr, "ms_ssim": float(m.mean())}
+    out = {"psnr": mean_psnr, "ms_ssim": float(m.mean())}
+    if lpips_fn is not None:
+        o = orig / 127.5 - 1.0
+        q = pred / 127.5 - 1.0
+        out["lpips"] = float(np.mean(np.asarray(lpips_fn(q, o))))
+    if fid_fn is not None:
+        from diffcodec_tpu.eval.frechet import fid_score
+        out["fid"] = fid_score(np.asarray(orig, np.uint8),
+                               np.asarray(pred, np.uint8), fid_fn)
+    if fvd_fn is not None:
+        from diffcodec_tpu.eval.frechet import fvd_score
+        v_o = np.asarray(orig)[None] / 255.0
+        v_p = np.asarray(pred)[None] / 255.0
+        out["fvd"] = fvd_score(v_o, v_p, fvd_fn)
+    return out

@@ -37,18 +37,23 @@ def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows, c_tile):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    vals = vals_ref[0].reshape(rows * W, C)             # [q, C]
-    flow = flow_ref[0].reshape(rows * W, 2)             # [q, 2]
     q = rows * W
+    vals = vals_ref[0].reshape(q, C)                    # [q, C]
+    # keep every intermediate >= 2D ([q, 1] columns) — Mosaic lowers 1-D
+    # vectors poorly (gather-rule failures)
+    flow = flow_ref[0].reshape(q, 2)
+    u = flow[:, 0:1]                                    # [q, 1]
+    v = flow[:, 1:2]
 
-    # absolute source coordinates of this chunk
+    # absolute source coordinates of this chunk, built natively in (q, 1)
+    # (Mosaic cannot reshape across the lane dim, so no (rows, W) iota)
     row0 = chunk * rows
-    yq = (jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + row0) \
-        .reshape(q)
-    xq = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1).reshape(q)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0)
+    yq = row0 + idx // W
+    xq = idx % W
 
-    fx = xq.astype(jnp.float32) + flow[:, 0]
-    fy = yq.astype(jnp.float32) + flow[:, 1]
+    fx = xq.astype(jnp.float32) + u                     # [q, 1]
+    fy = yq.astype(jnp.float32) + v
     finite = jnp.isfinite(fx) & jnp.isfinite(fy)
     fx = jnp.where(finite, fx, -10.0)
     fy = jnp.where(finite, fy, -10.0)
@@ -60,6 +65,10 @@ def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows, c_tile):
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (q, H), 1)
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (q, W), 1)
 
+    # stack the 4 corners along q (sublane concat — Mosaic-friendly; lane
+    # reshapes are not), then contract once per output column:
+    #   out[:, x, :] += A_all^T @ (Bw_all[:, x:x+1] * vals_all)
+    A_parts, Bw_parts = [], []
     for ky in (0, 1):
         wy = ay if ky else 1.0 - ay
         Yf = y0 + ky
@@ -67,22 +76,21 @@ def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows, c_tile):
             wx = ax if kx else 1.0 - ax
             Xf = x0 + kx
             valid = (Xf >= 0) & (Xf < W) & (Yf >= 0) & (Yf < H)
-            w = jnp.where(valid, wx * wy, 0.0)          # [q]
-            Yd = jnp.clip(Yf, 0, H - 1).astype(jnp.int32)
+            w = jnp.where(valid, wx * wy, 0.0)          # [q, 1]
+            Yd = jnp.clip(Yf, 0, H - 1).astype(jnp.int32)   # [q, 1]
             Xd = jnp.clip(Xf, 0, W - 1).astype(jnp.int32)
-            A = (Yd[:, None] == rows_iota).astype(jnp.float32)   # [q, H]
-            Bw = (Xd[:, None] == cols_iota).astype(jnp.float32) \
-                * w[:, None]                                     # [q, W]
-            for c0 in range(0, C, c_tile):
-                tc = min(c_tile, C - c0)
-                # M[q, X, c] = Bw[q, X] * vals[q, c]
-                M = (Bw[:, :, None] *
-                     vals[:, None, c0:c0 + tc]).reshape(q, W * tc)
-                contrib = lax.dot_general(
-                    A, M, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(H, W, tc)
-                out_ref[0, :, :, c0:c0 + tc] += contrib
+            A_parts.append((Yd == rows_iota).astype(jnp.float32))
+            Bw_parts.append((Xd == cols_iota).astype(jnp.float32) * w)
+    A_all = jnp.concatenate(A_parts, axis=0)       # [4q, H]
+    Bw_all = jnp.concatenate(Bw_parts, axis=0)     # [4q, W]
+    vals_all = jnp.concatenate([vals] * 4, axis=0)  # [4q, C]
+
+    for x in range(W):
+        M = Bw_all[:, x:x + 1] * vals_all          # [4q, C]
+        contrib = lax.dot_general(
+            A_all, M, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [H, C]
+        out_ref[0, :, x, :] += contrib
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

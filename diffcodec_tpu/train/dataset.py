@@ -224,6 +224,24 @@ class UniDataset:
             anno = ""
         return {"image": jpg, "cond": cond, "flow": flow, "text": anno}
 
+    def validate(self, limit: Optional[int] = None):
+        """Walk the dataset collecting per-sample errors instead of raising
+        (the `controlnet/test_data.py:18-50` corrupt-sample sweep with its
+        safe_collate semantics).  Returns (ok_count, [(index, error), ...])."""
+        errors = []
+        n = len(self) if limit is None else min(limit, len(self))
+        ok = 0
+        for i in range(n):
+            try:
+                s = self[i]
+                for k in ("image", "cond", "flow"):
+                    if not np.isfinite(s[k]).all():
+                        raise ValueError(f"non-finite values in {k!r}")
+                ok += 1
+            except Exception as e:  # noqa: BLE001 — collect, don't crash
+                errors.append((i, repr(e)))
+        return ok, errors
+
     def iter_batches(self, batch_size: int, text_encoder=None,
                      shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
         """Simple host-side batcher.  `text_encoder(texts) -> [B, L, D]`

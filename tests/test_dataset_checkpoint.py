@@ -133,3 +133,17 @@ def test_warm_start_filter():
     np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
     np.testing.assert_allclose(np.asarray(out["b"]), 0.0)
     np.testing.assert_allclose(np.asarray(out["c"]), 0.0)
+
+
+def test_unidataset_validate(tmp_path):
+    cap, idx = _make_dataset(tmp_path, n_seqs=3)
+    ds = UniDataset(cap, idx, resolution=64, transform=False)
+    ok, errors = ds.validate()
+    assert ok == 3 and errors == []
+    # corrupt one target image -> collected, not raised
+    bad = ds.video_frames[1]
+    with open(bad, "wb") as f:
+        f.write(b"not a png")
+    ok, errors = ds.validate()
+    assert ok == 2
+    assert len(errors) == 1 and errors[0][0] == 1
