@@ -7,7 +7,9 @@ transient of the XLA scan version never touches HBM.
 
 Grid: (batch, row-chunks).  The output block is the full [H, W, C] plane,
 revisited by every row-chunk (zeroed on the first, accumulated after).
-Per chunk, per corner, channels are processed in tiles to bound VMEM.
+Per chunk the four corners stack along the (sublane) q axis and one
+2-D matmul per output column does the scatter (Mosaic supports sublane
+concats/reshapes but not lane-crossing ones).
 
 Used by `splat_sum(..., impl='pallas')`; forward-only (the custom-vjp
 backward reuses the differentiable XLA path).
@@ -28,7 +30,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows, c_tile):
+def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows):
     """One (batch, row-chunk) program: scatter `rows` source rows into the
     full [H, W, C] output plane."""
     chunk = pl.program_id(1)
@@ -85,12 +87,21 @@ def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows, c_tile):
     Bw_all = jnp.concatenate(Bw_parts, axis=0)     # [4q, W]
     vals_all = jnp.concatenate([vals] * 4, axis=0)  # [4q, C]
 
-    for x in range(W):
-        M = Bw_all[:, x:x + 1] * vals_all          # [4q, C]
+    # fori_loop (not an unrolled Python loop): Mosaic stack-allocates every
+    # unrolled iteration's transients simultaneously -> VMEM OOM at W=64
+    def column_body(x, _):
+        col = lax.dynamic_slice_in_dim(Bw_all, x, 1, axis=1)  # [4q, 1]
+        M = col * vals_all                          # [4q, C]
+        # HIGHEST: the MXU otherwise rounds M to bf16 (the CUDA reference
+        # accumulates in fp32)
         contrib = lax.dot_general(
             A_all, M, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)     # [H, C]
-        out_ref[0, :, x, :] += contrib
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)        # [H, C]
+        out_ref[0, :, pl.ds(x, 1), :] += contrib[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, W, column_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -103,10 +114,11 @@ def splat_sum_pallas(vals: jnp.ndarray, flow: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # rows per chunk: bound the [q, W*c_tile] transient to ~2M floats
-    c_tile = min(C, 64)
+    # rows per chunk: bound the corner-stacked VMEM transients
+    # (A_all [4q, H] + Bw_all [4q, W] + vals_all/M [4q, C] with q = rows*W)
     budget = 2 * 1024 * 1024
-    rows = max(1, budget // max(W * W * c_tile, 1))
+    per_row = 4 * W * (H + W + 3 * C)
+    rows = max(1, budget // max(per_row, 1))
     rows = min(rows, H)
     n_chunks = -(-H // rows)
     pad = n_chunks * rows - H
@@ -116,8 +128,7 @@ def splat_sum_pallas(vals: jnp.ndarray, flow: jnp.ndarray,
         flow = jnp.pad(flow, ((0, 0), (0, pad), (0, 0), (0, 0)),
                        constant_values=-1e6)
 
-    kernel = functools.partial(_splat_kernel, H=H, W=W, C=C, rows=rows,
-                               c_tile=c_tile)
+    kernel = functools.partial(_splat_kernel, H=H, W=W, C=C, rows=rows)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
