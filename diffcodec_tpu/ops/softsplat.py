@@ -181,11 +181,44 @@ def _splat_sum_oracle(vals: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@jax.custom_vjp
+def _splat_sum_auto(vals, flow):
+    """Forward: fused Pallas kernel on TPU (measured ~1.6x the XLA scan at
+    the extractor's hot 64x64x161 shape, bit-exact), XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        from diffcodec_tpu.ops.softsplat_pallas import splat_sum_pallas
+        return splat_sum_pallas(vals, flow)
+    return _splat_sum_xla(vals, flow)
+
+
+def _splat_sum_auto_fwd(vals, flow):
+    return _splat_sum_auto(vals, flow), (vals, flow)
+
+
+def _splat_sum_auto_bwd(res, ct):
+    # backward through the differentiable XLA formulation (recompute-style);
+    # matches the reference ingrad/flowgrad kernels — see the module
+    # docstring and tests/test_softsplat.py
+    vals, flow = res
+    _, vjp = jax.vjp(_splat_sum_xla, vals, flow)
+    return tuple(vjp(ct))
+
+
+_splat_sum_auto.defvjp(_splat_sum_auto_fwd, _splat_sum_auto_bwd)
+
+
 def splat_sum(vals: jnp.ndarray, flow: jnp.ndarray, *,
-              impl: str = "xla") -> jnp.ndarray:
-    """Core 'sum'-mode forward splat. fp32 compute, returns input dtype."""
+              impl: str = "auto") -> jnp.ndarray:
+    """Core 'sum'-mode forward splat. fp32 compute, returns input dtype.
+
+    impl: 'auto' (Pallas forward on TPU + XLA autodiff backward) | 'xla' |
+    'pallas' | 'oracle'.
+    """
     dtype = vals.dtype
-    if impl == "xla":
+    if impl == "auto":
+        out = _splat_sum_auto(vals.astype(jnp.float32),
+                              flow.astype(jnp.float32))
+    elif impl == "xla":
         out = _splat_sum_xla(vals, flow)
     elif impl == "oracle":
         out = _splat_sum_oracle(vals, flow)

@@ -88,9 +88,14 @@ def _splat_kernel(vals_ref, flow_ref, out_ref, *, H, W, C, rows):
     vals_all = jnp.concatenate([vals] * 4, axis=0)  # [4q, C]
 
     # fori_loop (not an unrolled Python loop): Mosaic stack-allocates every
-    # unrolled iteration's transients simultaneously -> VMEM OOM at W=64
+    # unrolled iteration's transients simultaneously -> VMEM OOM at W=64.
+    # Column extraction via one-hot masked reduce (value dynamic_slice is
+    # not lowerable).
+    cols_iota4 = jax.lax.broadcasted_iota(jnp.int32, (4 * q, W), 1)
+
     def column_body(x, _):
-        col = lax.dynamic_slice_in_dim(Bw_all, x, 1, axis=1)  # [4q, 1]
+        col = jnp.sum(jnp.where(cols_iota4 == x, Bw_all, 0.0), axis=1,
+                      keepdims=True)                # [4q, 1]
         M = col * vals_all                          # [4q, C]
         # HIGHEST: the MXU otherwise rounds M to bf16 (the CUDA reference
         # accumulates in fp32)
@@ -116,7 +121,7 @@ def splat_sum_pallas(vals: jnp.ndarray, flow: jnp.ndarray,
 
     # rows per chunk: bound the corner-stacked VMEM transients
     # (A_all [4q, H] + Bw_all [4q, W] + vals_all/M [4q, C] with q = rows*W)
-    budget = 2 * 1024 * 1024
+    budget = 768 * 1024
     per_row = 4 * W * (H + W + 3 * C)
     rows = max(1, budget // max(per_row, 1))
     rows = min(rows, H)

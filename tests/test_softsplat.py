@@ -65,7 +65,7 @@ def _rand(shape, seed, scale=1.0):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
-@pytest.mark.parametrize("impl", ["xla", "oracle", "pallas"])
+@pytest.mark.parametrize("impl", ["xla", "oracle", "pallas", "auto"])
 @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 16, 12, 5)])
 def test_splat_sum_matches_numpy(impl, shape):
     B, H, W, C = shape
@@ -135,10 +135,15 @@ def test_splat_grads_match_oracle_impl():
 
     gx_v, gx_f = jax.grad(loss("xla"), argnums=(0, 1))(vals, flow)
     go_v, go_f = jax.grad(loss("oracle"), argnums=(0, 1))(vals, flow)
+    ga_v, ga_f = jax.grad(loss("auto"), argnums=(0, 1))(vals, flow)
     np.testing.assert_allclose(np.asarray(gx_v), np.asarray(go_v),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(go_f),
                                rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_v), np.asarray(gx_v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(gx_f),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_splat_value_grad_is_gather():
