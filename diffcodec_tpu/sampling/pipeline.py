@@ -44,6 +44,27 @@ class DualFlowPipeline:
     schedule: NoiseSchedule
     sampler: SamplerConfig = SamplerConfig()
 
+    @staticmethod
+    def encode_prompt(text_encoder, text_params, tokenizer, prompts,
+                      negative_prompts=None):
+        """Tokenize + encode prompt pairs for CFG (`pipeline.py:223-236`).
+
+        prompts / negative_prompts: list[str] (negative defaults to "").
+        Returns (text_embeds [B,L,D], uncond_embeds [B,L,D]) numpy arrays.
+        """
+        import numpy as np
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if negative_prompts is None:
+            negative_prompts = [""] * len(prompts)
+        elif isinstance(negative_prompts, str):
+            negative_prompts = [negative_prompts] * len(prompts)
+        ids = jnp.asarray(tokenizer(list(prompts)))
+        neg_ids = jnp.asarray(tokenizer(list(negative_prompts)))
+        text = np.asarray(text_encoder.apply(text_params, ids))
+        uncond = np.asarray(text_encoder.apply(text_params, neg_ids))
+        return text, uncond
+
     def prepare_latents(self, rng, batch, height, width, dtype=jnp.float32):
         """N(0,1) x init_noise_sigma (==1 for UniPC), `pipeline.py:269-278`."""
         shape = (batch, height // 8, width // 8,

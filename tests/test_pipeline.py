@@ -103,3 +103,26 @@ def test_pipeline_guess_mode(tiny_pipeline_setup):
                               guess_mode=True, freeu=False))
     out = pipe.denoise(params, latents, text, uncond, cond, flow)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encode_prompt_pairs():
+    from diffcodec_tpu.config import CLIPTextConfig
+    from diffcodec_tpu.models.clip_text import CLIPTextEncoder
+    from diffcodec_tpu.utils.tokenizer import HashTokenizer
+
+    cfg = CLIPTextConfig.tiny()
+    enc = CLIPTextEncoder(cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size,
+                        context_length=cfg.max_length)
+    params = enc.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, cfg.max_length), jnp.int32))
+    text, uncond = DualFlowPipeline.encode_prompt(
+        enc, params, tok, ["a cat", "a dog"])
+    assert text.shape == (2, cfg.max_length, cfg.hidden_dim)
+    assert uncond.shape == text.shape
+    # same negative prompt ("") for both rows
+    np.testing.assert_allclose(uncond[0], uncond[1], atol=1e-6)
+    # explicit negative prompt differs from ""
+    _, uncond2 = DualFlowPipeline.encode_prompt(
+        enc, params, tok, ["a cat"], negative_prompts=["blurry"])
+    assert np.abs(uncond2[0] - uncond[0]).max() > 1e-6
