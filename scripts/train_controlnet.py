@@ -215,6 +215,38 @@ def main(argv=None):
     metrics_logger = MetricsLogger(os.path.join(args.output_dir, "tb"))
     timer = StepTimer()
     step = start_step
+
+    val_batch = None
+    if args.validation_steps and args.validation_index_file:
+        from diffcodec_tpu.config import SamplerConfig
+        from diffcodec_tpu.sampling.pipeline import DualFlowPipeline
+        from diffcodec_tpu.sampling.schedulers import NoiseSchedule as _NS
+        from diffcodec_tpu.train.validation import run_validation
+        val_ds = UniDataset(args.caption_file or "/dev/null",
+                            args.validation_index_file,
+                            resolution=args.resolution, drop_txt_prob=0.0,
+                            transform=False, seed=args.seed)
+        val_batch = next(val_ds.iter_batches(
+            min(args.train_batch_size, len(val_ds)),
+            text_encoder=embed_text, shuffle=False))
+        val_pipe = DualFlowPipeline(
+            unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+            sampler=SamplerConfig(num_inference_steps=20,
+                                  guidance_scale=3.5))
+
+        def do_validation(state, step):
+            """In-loop sampling validation (log_validation parity,
+            train_controlnet.py:84-255)."""
+            params = {"unet": frozen["unet"], "vae": frozen["vae"],
+                      "controlnet": jax.device_get(state.params)}
+            run_validation(
+                val_pipe, params,
+                {k: val_batch[k] for k in ("cond", "flow", "image")},
+                jnp.asarray(val_batch["text_embeds"]),
+                jnp.zeros_like(jnp.asarray(val_batch["text_embeds"])),
+                jax.random.PRNGKey(args.seed),
+                out_dir=os.path.join(args.output_dir, "validation"),
+                logger=metrics_logger, step=step)
     logger.info("training from step %d to %d", step, args.max_train_steps)
     while step < args.max_train_steps:
         for batch in dataset.iter_batches(B, text_encoder=embed_text):
@@ -239,6 +271,9 @@ def main(argv=None):
                                 jax.device_get(state),
                                 total_limit=args.checkpoints_total_limit)
                 logger.info("saved checkpoint-%d", step)
+            if val_batch is not None and \
+                    step % args.validation_steps == 0:
+                do_validation(state, step)
     save_checkpoint(args.output_dir, step, jax.device_get(state),
                     total_limit=args.checkpoints_total_limit)
     logger.info("done at step %d", step)

@@ -90,3 +90,19 @@ def test_codec_cli_encode_eval(tmp_path):
     # eval CLI runs (PSNR finite)
     cli.main(["eval", "--orig", str(frames_dir), "--pred", dec,
               "--gop", "2"])
+
+
+def test_train_cli_in_loop_validation(tmp_path):
+    """--validation_steps triggers sampling validation with panel output
+    (log_validation parity)."""
+    import train_controlnet as cli
+
+    idx = _make_dataset(tmp_path)
+    out = str(tmp_path / "runv")
+    cli.main(["--index_file", idx, "--validation_index_file", idx,
+              "--output_dir", out, "--tiny", "--resolution", "32",
+              "--train_batch_size", "2", "--max_train_steps", "2",
+              "--checkpointing_steps", "100", "--validation_steps", "2",
+              "--log_every", "1"])
+    val_dir = os.path.join(out, "validation")
+    assert os.path.isdir(val_dir) and len(os.listdir(val_dir)) > 0

@@ -45,3 +45,16 @@ def test_comparison_figure(tmp_path):
                       metric_higher_better={"psnr": True, "lpips": False},
                       out_path=out, title="ablation")
     assert os.path.getsize(out) > 1000
+
+
+def test_anchor_rd_data_and_bd_table():
+    from diffcodec_tpu.eval.anchors_data import uvg_rd_curves
+    from diffcodec_tpu.eval.bd_rate import bd_rate
+
+    anchors, ours = uvg_rd_curves(gop=8)
+    assert set(anchors) == {"H.264", "HEVC", "PLVC"}
+    table = bd_rate_table(anchors, ours)
+    # BD-rate vs HEVC on MS-SSIM computable (overlapping quality range)
+    assert np.isfinite(table["HEVC"]["ms_ssim"])
+    # spot-check the headline "Ours" GOP8 points made it through
+    assert ours["psnr"][0] == (0.008151, 24.7537)
