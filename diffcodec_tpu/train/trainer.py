@@ -102,11 +102,15 @@ class ControlNetTrainer:
     lpips: Any = None
 
     def loss_fn(self, cn_params, frozen, batch, rng):
-        """batch: img_gt [B,H,W,3] in [-1,1]; cond [B,H,W,6]; flow [B,H,W,4];
-        text_embeds [B,L,D]."""
+        """batch: img_gt 'image' [B,H,W,3] in [-1,1]; 'cond' [B,H,W,6];
+        'flow' [B,H,W,4]; 'text_embeds' [B,L,D].  Residual variant
+        (train_rescontrolnet.py:1081,1112): with 'residual'/'warped' keys
+        the target image is the residual and the ControlNet receives the
+        warped prediction as warp_cond."""
         cfg = self.config
         rng_noise, rng_t, rng_lat = jax.random.split(rng, 3)
-        img_gt = batch["image"]
+        residual_mode = "residual" in batch
+        img_gt = batch["residual"] if residual_mode else batch["image"]
         B = img_gt.shape[0]
 
         mean, logvar = self.vae.apply(frozen["vae"], img_gt,
@@ -121,9 +125,11 @@ class ControlNetTrainer:
             rng_t, (B,), 0, self.schedule.cfg.num_train_timesteps)
         noisy = self.schedule.add_noise(latents, noise, timesteps)
 
-        down, mid = self.controlnet.apply(
-            cn_params, noisy, timesteps, batch["text_embeds"],
-            batch["cond"], batch["flow"])
+        cn_args = (noisy, timesteps, batch["text_embeds"], batch["cond"],
+                   batch["flow"])
+        if residual_mode:
+            cn_args = cn_args + (batch["warped"],)
+        down, mid = self.controlnet.apply(cn_params, *cn_args)
         model_pred = self.unet.apply(
             frozen["unet"], noisy, timesteps, batch["text_embeds"],
             down_block_additional_residuals=down,

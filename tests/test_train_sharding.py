@@ -137,3 +137,49 @@ def test_param_shardings_cover_tree():
         jax.tree.map(lambda s: s.spec, sh,
                      is_leaf=lambda x: hasattr(x, "spec")))
     assert any(any(ax is not None for ax in spec) for spec in specs)
+
+
+def test_res_controlnet_train_step():
+    """Residual-variant training (train_rescontrolnet parity): residual
+    target + warp_cond through the same trainer."""
+    from diffcodec_tpu.models.controlnet import ResControlNet
+    from diffcodec_tpu.train.residue import make_residue_batch
+
+    rng = jax.random.PRNGKey(0)
+    unet_cfg = UNetConfig.tiny()
+    cn_cfg = ControlNetConfig.tiny()
+    vae_cfg = VAEConfig(base_channels=8, channel_mults=(1, 1, 2, 2),
+                        layers_per_block=1)
+    unet = UNet2DConditionModel(unet_cfg)
+    controlnet = ResControlNet(cn_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    B, H = 2, 32
+    h = H // 8
+    z = jnp.zeros
+    k1, k2, k3 = jax.random.split(rng, 3)
+    cn_params = controlnet.init(
+        k1, z((B, h, h, 4)), z((B,), jnp.int32), z((B, 5, 32)),
+        z((B, H, H, 6)), z((B, H, H, 4)), z((B, H, H, 3)))
+    frozen = {
+        "unet": unet.init(k2, z((B, h, h, 4)), z((B,), jnp.int32),
+                          z((B, 5, 32))),
+        "vae": vae.init(k3, z((B, H, H, 3))),
+    }
+    base = {
+        "image": jax.random.uniform(jax.random.PRNGKey(5),
+                                    (B, H, H, 3)) * 2 - 1,
+        "cond": jax.random.uniform(jax.random.PRNGKey(6), (B, H, H, 6)),
+        "flow": z((B, H, H, 4)),
+        "text_embeds": z((B, 5, 32)),
+    }
+    batch = make_residue_batch(base)
+    cfg = TrainConfig(learning_rate=1e-4, lr_warmup_steps=0,
+                      max_train_steps=5)
+    trainer = ControlNetTrainer(unet=unet, controlnet=controlnet, vae=vae,
+                                schedule=NoiseSchedule.create(
+                                    SchedulerConfig()), config=cfg)
+    state = TrainState.create(cn_params, make_optimizer(cfg))
+    state, metrics = trainer.train_step(state, frozen, batch,
+                                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_mse"]))
+    assert int(state.step) == 1
