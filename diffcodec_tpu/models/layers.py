@@ -195,11 +195,12 @@ class Attention(nn.Module):
         if use_flash:
             out = _flash_self_attention(q, k, v, scale)
         else:
-            # fp32 logits/softmax, MXU-friendly einsums.  Measured fastest
-            # of {fp32 softmax, bf16 softmax, pallas-flash w/ lane padding}
-            # for SD-1.5 shapes on v5e (4.9 vs 6.7 vs 5.5 s / GOP batch).
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                                k.astype(jnp.float32)) * scale
+            # bf16 operands with f32 MXU accumulation (one MXU pass instead
+            # of the ~6 an f32xf32 matmul costs) + f32 softmax.  Measured
+            # fastest of {f32-operand einsum, bf16 softmax, pallas-flash
+            # with lane padding} for SD-1.5 shapes on v5e.
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, Lq, inner)
@@ -305,8 +306,8 @@ class AttentionBlock2D(nn.Module):
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
         scale = 1.0 / math.sqrt(C)
-        logits = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
-                            k.astype(jnp.float32)) * scale
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bqk,bkc->bqc", probs, v)
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)

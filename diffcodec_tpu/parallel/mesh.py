@@ -23,6 +23,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from diffcodec_tpu.config import MeshConfig
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialisation (the reference's `dist_init` launchers,
+    `cmp/utils/distributed_utils.py:34-67`, collapse to this): on TPU pods
+    `jax.distributed.initialize()` auto-discovers everything; args are for
+    manual/CPU setups.  Returns the global device count.  Safe to call when
+    already initialised or single-process."""
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+        elif jax.process_count() == 1 and num_processes not in (None, 1):
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # already initialised / single-process environment
+    return len(jax.devices())
+
+
 def make_mesh(cfg: MeshConfig = MeshConfig(),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

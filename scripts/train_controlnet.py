@@ -149,26 +149,25 @@ def main(argv=None):
     # optional warm starts from torch checkpoints
     if args.sd_checkpoint_dir:
         from diffcodec_tpu.models import hf_import
-        import torch
         for name, model_cfg, nm_fn in (
                 ("vae", vae_cfg, hf_import.vae_name_map),
                 ("unet", unet_cfg, hf_import.unet_name_map),
                 ("text", clip_cfg, hf_import.clip_text_name_map)):
-            path = os.path.join(args.sd_checkpoint_dir, f"{name}.bin")
-            if os.path.exists(path):
-                sd = {k: v.numpy() for k, v in
-                      torch.load(path, map_location="cpu").items()}
-                frozen[name], _, _ = hf_import.convert_state_dict(
-                    sd, nm_fn(model_cfg), frozen[name], strict=False)
-                logger.info("loaded %s from %s", name, path)
+            for ext in (".safetensors", ".bin"):
+                path = os.path.join(args.sd_checkpoint_dir, name + ext)
+                if os.path.exists(path):
+                    sd = hf_import.load_torch_state_dict(path)
+                    frozen[name], _, _ = hf_import.convert_state_dict(
+                        sd, nm_fn(model_cfg), frozen[name], strict=False)
+                    logger.info("loaded %s from %s", name, path)
+                    break
     if args.pretrained_checkpoint and os.path.exists(
             args.pretrained_checkpoint):
-        import torch
-        sd = torch.load(args.pretrained_checkpoint, map_location="cpu")
         from diffcodec_tpu.models.hf_import import (controlnet_name_map,
-                                                    convert_state_dict)
+                                                    convert_state_dict,
+                                                    load_torch_state_dict)
         loaded, _, _ = convert_state_dict(
-            {k: v.numpy() for k, v in sd.items()},
+            load_torch_state_dict(args.pretrained_checkpoint),
             controlnet_name_map(cn_cfg), cn_params, strict=False)
         cn_params, copied = warm_start_filter(cn_params, loaded)
         logger.info("warm-started %d tensors", copied)
