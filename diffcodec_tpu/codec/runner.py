@@ -155,6 +155,28 @@ def encode_video(frames: np.ndarray, out_dir: str,
     return EncodedVideo(path=out_dir, meta=meta)
 
 
+def make_cmp_densifier(cmp_model, variables, batch_size: int = 8):
+    """Adapter: CMP network -> `decode_video` densify_fn.
+
+    Builds the 4-channel sparse input (flow + mask, `cmp/models/modules/
+    shallownet.py` input convention) and runs the jitted CMP on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    apply = jax.jit(lambda img, sp: cmp_model.apply(variables, img, sp))
+
+    def densify_fn(sparse: np.ndarray, mask: np.ndarray,
+                   anchor: np.ndarray) -> np.ndarray:
+        inp = np.concatenate(
+            [sparse, mask[..., :2].astype(np.float32)], axis=-1)
+        out = apply(jnp.asarray(anchor[None], jnp.float32),
+                    jnp.asarray(inp[None], jnp.float32))
+        return np.asarray(out)[0]
+
+    return densify_fn
+
+
 def decode_video(enc: EncodedVideo,
                  sample_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
                  densify_fn: Optional[Callable] = None) -> np.ndarray:

@@ -155,6 +155,51 @@ def _flash_self_attention(q, k, v, scale):
     return out[:, :, :L, :D].transpose(0, 2, 1, 3)  # [B, L, H, D]
 
 
+def _chunked_self_attention(q, k, v, scale, chunk: int = 1024):
+    """Memory-efficient attention: lax.scan over KV chunks with online
+    softmax (f32 running max / denominator / accumulator).  Peak memory
+    O(B*H*Lq*chunk) instead of O(B*H*Lq*Lk) — unlocks multi-GOP decode
+    batches that OOM the einsum path's logits.
+
+    q, k, v: [B, L, H, D]; returns [B, L, H, D] in v.dtype.
+    """
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
+    chunk = min(chunk, Lk)
+    pad = (-Lk) % chunk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nc = (Lk + pad) // chunk
+    kc = k.reshape(B, nc, chunk, H, D).transpose(1, 0, 2, 3, 4)
+    vc = v.reshape(B, nc, chunk, H, D).transpose(1, 0, 2, 3, 4)
+    # mask for the padded tail chunk
+    valid = (jnp.arange(nc * chunk) < Lk).reshape(nc, 1, 1, 1, chunk)
+
+    m0 = jnp.full((B, H, Lq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, H, Lq, 1), jnp.float32)
+    acc0 = jnp.zeros((B, H, Lq, D), jnp.float32)
+
+    def body(carry, xs):
+        m, l, acc = carry
+        kb, vb, vmask = xs
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kb,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(vmask, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(vb.dtype), vb,
+                        preferred_element_type=jnp.float32)
+        acc = acc * corr + pv
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, valid))
+    out = acc / l
+    return out.transpose(0, 2, 1, 3).astype(v.dtype)  # [B, Lq, H, D]
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional cross-attention context.
 
@@ -166,10 +211,15 @@ class Attention(nn.Module):
     head_dim: int
     out_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
-    # flash kernel threshold; measured on v5e: for SD-1.5's head_dim 40-160
-    # the lane padding to 128 costs more than the HBM logits it saves, so
-    # the default keeps the einsum path (set e.g. 4096 to enable)
-    flash_min_len: int = 1 << 30
+    # long self-attention implementation: 'einsum' (measured fastest on v5e
+    # for SD-1.5 shapes), 'flash' (Pallas kernel; slower here due to
+    # 128-lane head padding at head_dim 40-160), 'chunked' (online-softmax
+    # scan; ~2x slower but O(L*chunk) memory — for batches whose logits
+    # would OOM HBM)
+    self_attn_impl: str = "einsum"
+    # impls other than einsum kick in only for self-attention sequences at
+    # least this long
+    long_attn_min_len: int = 1024
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -190,10 +240,12 @@ class Attention(nn.Module):
         v = v.reshape(B, Lk, self.heads, self.head_dim)
         scale = 1.0 / math.sqrt(self.head_dim)
 
-        use_flash = (is_self and Lq >= self.flash_min_len and
-                     Lq == Lk and jax.default_backend() == "tpu")
-        if use_flash:
+        long_self = (is_self and Lq >= self.long_attn_min_len and Lq == Lk)
+        if long_self and self.self_attn_impl == "flash" and \
+                jax.default_backend() == "tpu":
             out = _flash_self_attention(q, k, v, scale)
+        elif long_self and self.self_attn_impl == "chunked":
+            out = _chunked_self_attention(q, k, v, scale)
         else:
             # bf16 operands with f32 MXU accumulation (one MXU pass instead
             # of the ~6 an f32xf32 matmul costs) + f32 softmax.  Measured

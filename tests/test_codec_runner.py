@@ -126,3 +126,39 @@ def test_decode_with_tiny_diffusion_decoder(tmp_path):
     out = decode_video(enc, sample_fn)
     assert out.shape == frames.shape
     assert out.dtype == np.uint8
+
+
+def test_sparse_decode_with_cmp_densifier(tmp_path):
+    """'sparse' mode decode through a real (tiny) CMP densifier — the full
+    sparse-motion decompression path (SURVEY.md section 3.5)."""
+    from diffcodec_tpu.models.cmp import CMP
+
+    frames = _synthetic_video(n=4, H=64, W=64)
+    cfg = CodecConfig(gop_size=2, flow_rate_mode="sparse")
+    N, H, W = frames.shape[:3]
+    flows = {t: np.full((H, W, 2), 1.5, np.float32) for t in range(N)}
+    enc = encode_video(frames, str(tmp_path / "enc"), cfg,
+                       flows_fwd=flows, flows_bwd=flows,
+                       sparse_bg_ratio=30 / (H * W))
+
+    cmp = CMP(img_enc_dim=8, sparse_enc_dim=4, nbins=9, fmax=50.0)
+    variables = cmp.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+                         jnp.zeros((1, H, W, 4)))
+
+    calls = {"n": 0}
+
+    def densify_fn(sparse, mask, anchor):
+        calls["n"] += 1
+        inp = np.concatenate([sparse, mask[..., :2].astype(np.float32)], -1)
+        out = cmp.apply(variables, jnp.asarray(anchor[None]),
+                        jnp.asarray(inp[None]))
+        return np.asarray(out)[0]
+
+    def sample_fn(cond, flow):
+        assert np.isfinite(np.asarray(flow)).all()
+        return (0.5 * (cond[..., :3] + cond[..., 3:])) * 2 - 1
+
+    out = decode_video(EncodedVideo.load(str(tmp_path / "enc")), sample_fn,
+                       densify_fn=densify_fn)
+    assert out.shape == frames.shape
+    assert calls["n"] == 2 * 2  # 2 inter frames x fwd/bwd
