@@ -22,7 +22,7 @@ import io
 import os
 import re
 import struct
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

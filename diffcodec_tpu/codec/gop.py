@@ -12,11 +12,9 @@ Parity targets:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
-
-from diffcodec_tpu.config import CodecConfig
 
 
 def get_inter_frames(num_frames: int, gop_size: int) -> List[int]:

@@ -24,13 +24,13 @@ import dataclasses
 import json
 import os
 import zlib
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
 from diffcodec_tpu.codec.bits import (decode_sparse_flow, encode_sparse_flow,
                                       write_compression_report)
-from diffcodec_tpu.codec.gop import (GopItem, batch_gop_conditions,
+from diffcodec_tpu.codec.gop import (batch_gop_conditions,
                                      get_intra_frames, gop_schedule)
 from diffcodec_tpu.codec.sparse_flow import flow_sampler
 from diffcodec_tpu.config import CodecConfig

@@ -9,7 +9,7 @@ No cv2 dependency (scipy only).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 from scipy import ndimage, signal

@@ -12,7 +12,7 @@ scripts live in committed artifacts and BASELINE.md, not here.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ metric captions with the best value bolded, PDF/PNG output.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -21,8 +21,6 @@ the decoder (`SURVEY.md` section 3.5); config
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

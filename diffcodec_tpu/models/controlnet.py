@@ -26,8 +26,6 @@ extractor+warp work per frame.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

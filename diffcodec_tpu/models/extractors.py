@@ -22,7 +22,7 @@ Known bug NOT replicated: the debug prints in hot paths
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

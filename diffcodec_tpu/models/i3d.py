@@ -12,7 +12,7 @@ Weights import from the vendored torch module naming via `i3d_name_map` +
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

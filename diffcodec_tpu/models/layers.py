@@ -10,7 +10,7 @@ CLIPTextModel) — re-implemented TPU-first, not translated.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

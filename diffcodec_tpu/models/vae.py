@@ -9,8 +9,6 @@ Latents are scaled by `scaling_factor` (0.18215) at the codec boundary
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

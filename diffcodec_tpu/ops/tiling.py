@@ -13,7 +13,7 @@ is HWC for pixels, NHWC for latents.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

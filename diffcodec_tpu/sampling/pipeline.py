@@ -18,13 +18,12 @@ TPU-first restructuring:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from diffcodec_tpu.config import SamplerConfig, SchedulerConfig
+from diffcodec_tpu.config import SamplerConfig
 from diffcodec_tpu.models.controlnet import DualFlowControlNet
 from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
 from diffcodec_tpu.models.vae import AutoencoderKL, decode_from_latents

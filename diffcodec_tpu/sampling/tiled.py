@@ -12,13 +12,12 @@ or a whole GOP of them — decodes in a single pjit-able call.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from diffcodec_tpu.config import CodecConfig
 from diffcodec_tpu.ops.tiling import crop_into_tiles, merge_tiles
 
 

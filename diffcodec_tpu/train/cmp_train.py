@@ -17,7 +17,7 @@ Parity targets (`cmp/`):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

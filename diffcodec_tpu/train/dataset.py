@@ -81,7 +81,6 @@ def load_flow_cached(path: str, target_h: int, target_w: int) -> np.ndarray:
 
 
 def _rgb_to_hsv(x):
-    import colorsys  # noqa: F401  (vectorized below instead)
     maxc = x.max(-1)
     minc = x.min(-1)
     v = maxc

@@ -15,8 +15,6 @@ reproduce the reference behaviour exactly.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,8 +14,6 @@ perceptual-style metric for smoke tests (0 iff identical inputs).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

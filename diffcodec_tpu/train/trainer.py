@@ -18,8 +18,7 @@ averaged by XLA-inserted collectives, not hand-written all-reduce
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +27,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from diffcodec_tpu.config import TrainConfig
-from diffcodec_tpu.parallel.mesh import (batch_sharding, param_shardings,
-                                         replicated)
+from diffcodec_tpu.parallel.mesh import replicated
 from diffcodec_tpu.sampling.schedulers import NoiseSchedule
 from diffcodec_tpu.train.losses import diffusion_loss, pixel_losses
 

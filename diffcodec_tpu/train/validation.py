@@ -9,7 +9,7 @@ MetricsLogger, panels to PNG files (TensorBoard images optional).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 import jax

@@ -45,8 +45,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from diffcodec_tpu.codec.gop import gop_schedule
-    from diffcodec_tpu.codec.runner import (EncodedVideo, decode_video,
-                                            encode_video)
+    from diffcodec_tpu.codec.runner import decode_video, encode_video
     from diffcodec_tpu.config import CodecConfig
     from diffcodec_tpu.eval.codec_eval import load_frames
     from diffcodec_tpu.eval.metrics import calculate_metrics_batch

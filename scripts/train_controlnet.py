@@ -219,7 +219,6 @@ def main(argv=None):
     if args.validation_steps and args.validation_index_file:
         from diffcodec_tpu.config import SamplerConfig
         from diffcodec_tpu.sampling.pipeline import DualFlowPipeline
-        from diffcodec_tpu.sampling.schedulers import NoiseSchedule as _NS
         from diffcodec_tpu.train.validation import run_validation
         val_ds = UniDataset(args.caption_file or "/dev/null",
                             args.validation_index_file,
