@@ -77,6 +77,49 @@ def bd_rate_safe(R1, Q1, R2, Q2, higher_better: bool = True) -> float:
     return float((np.exp(avg_diff) - 1) * 100)
 
 
+def extrapolate_rd_curve(bpp, quality, n_points: int = 7,
+                         extend_factor: float = 0.1):
+    """Linear RD-curve extrapolation + monotonicity forcing
+    (`bd_test.py:56-78`): resample onto a bpp grid extended by
+    +-extend_factor (min clamped to 0.001), cumulative enforcement matching
+    the original curve's direction.  Divergence (bug fix): the reference's
+    decreasing branch (`bd_test.py:76`,
+    `np.minimum.accumulate(q[::-1])[::-1]`) collapses every decreasing
+    curve to a constant; the correct enforcement is a left-to-right
+    cumulative minimum."""
+    bpp = np.asarray(bpp, np.float64)
+    quality = np.asarray(quality, np.float64)
+    order = np.argsort(bpp)
+    bpp, quality = bpp[order], quality[order]
+    f = interp1d(bpp, quality, kind="linear", fill_value="extrapolate")
+    min_bpp = max(bpp.min() * (1 - extend_factor), 0.001)
+    max_bpp = bpp.max() * (1 + extend_factor)
+    new_bpp = np.linspace(min_bpp, max_bpp, n_points)
+    new_q = f(new_bpp)
+    if np.all(np.diff(quality) > 0):
+        new_q = np.maximum.accumulate(new_q)
+    elif np.all(np.diff(quality) < 0):
+        new_q = np.minimum.accumulate(new_q)
+    return new_bpp, new_q
+
+
+def bd_rate_extrapolated(R1, Q1, R2, Q2, higher_better: bool = True,
+                         sanity_threshold: float = 1000.0) -> float:
+    """`bd_test.py:81-108` variant: extrapolate both curves, sign-flip
+    lower-is-better metrics, PCHIP BD-rate, NaN on non-increasing rates /
+    non-positive rates / unstable (>threshold %) results."""
+    R1e, Q1e = extrapolate_rd_curve(np.asarray(R1), np.asarray(Q1))
+    R2e, Q2e = extrapolate_rd_curve(np.asarray(R2), np.asarray(Q2))
+    if not (np.all(np.diff(R1e) > 0) and np.all(np.diff(R2e) > 0)):
+        return float("nan")
+    if np.any(R1e <= 0) or np.any(R2e <= 0):
+        return float("nan")
+    out = bd_rate(R1e, Q1e, R2e, Q2e, higher_better=higher_better)
+    if not np.isfinite(out) or abs(out) > sanity_threshold:
+        return float("nan")
+    return out
+
+
 def bd_quality(R1, Q1, R2, Q2, higher_better: bool = True) -> float:
     """BD-quality (e.g. BD-PSNR): average quality difference at equal rate.
     Companion metric (standard Bjøntegaard definition, same interpolation

@@ -135,3 +135,37 @@ def test_bd_quality():
     Q1 = [30.0, 33.0, 36.0]
     Q2 = [31.0, 34.0, 37.0]  # +1 dB everywhere
     np.testing.assert_allclose(bd_quality(R, Q1, R, Q2), 1.0, rtol=1e-6)
+
+
+def test_extrapolate_rd_curve():
+    from diffcodec_tpu.eval.bd_rate import extrapolate_rd_curve
+    bpp = [0.01, 0.02, 0.04]
+    q = [30.0, 33.0, 36.0]
+    nb, nq = extrapolate_rd_curve(bpp, q)
+    assert len(nb) == 7
+    assert nb[0] >= 0.001 and nb[0] < 0.01 and nb[-1] > 0.04
+    assert np.all(np.diff(nq) >= 0)  # monotone increasing preserved
+    # decreasing metric: monotone decreasing enforced
+    nb2, nq2 = extrapolate_rd_curve(bpp, [0.2, 0.15, 0.1])
+    assert np.all(np.diff(nq2) <= 0)
+
+
+def test_bd_rate_extrapolated():
+    from diffcodec_tpu.eval.bd_rate import bd_rate_extrapolated
+    R1 = np.asarray([0.01, 0.02, 0.04])
+    Q = [30.0, 33.0, 36.0]
+    got = bd_rate_extrapolated(R1, Q, 2 * R1, Q)
+    np.testing.assert_allclose(got, 100.0, rtol=0.02)
+    # lower-better metric path
+    L = [0.2, 0.15, 0.1]
+    got = bd_rate_extrapolated(R1, L, R1 / 2, L, higher_better=False)
+    np.testing.assert_allclose(got, -50.0, rtol=0.02)
+
+
+def test_bd_rate_extrapolated_headline_points():
+    """Runs on the reference's actual published operating points."""
+    from diffcodec_tpu.eval.anchors_data import HEVC_UVG_GOP8, OURS_UVG
+    from diffcodec_tpu.eval.bd_rate import bd_rate_extrapolated
+    got = bd_rate_extrapolated(HEVC_UVG_GOP8["bpp"], HEVC_UVG_GOP8["ms_ssim"],
+                               OURS_UVG[8]["bpp"], OURS_UVG[8]["ms_ssim"])
+    assert np.isfinite(got) or np.isnan(got)  # protocol runs; value logged
