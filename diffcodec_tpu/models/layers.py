@@ -340,7 +340,11 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        # 2x nearest via broadcast+reshape (equivalent to
+        # jax.image.resize(method='nearest'), but pure data movement —
+        # resize lowers to gathers on TPU)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name="conv")(x)
 
