@@ -98,6 +98,10 @@ class SamplerConfig:
     control_guidance_start: float = 0.0
     control_guidance_end: float = 1.0
     guess_mode: bool = False
+    # ControlNet residual caching interval (Faster-Diffusion-style,
+    # PAPERS.md): recompute ControlNet residuals every k-th step, reuse in
+    # between.  1 = exact reference behavior (recompute every step).
+    controlnet_interval: int = 1
     # FreeU (validation.py:106)
     freeu: bool = True
     freeu_s1: float = 0.9

@@ -103,23 +103,44 @@ class DualFlowPipeline:
         freeu = ((cfg.freeu_s1, cfg.freeu_s2, cfg.freeu_b1, cfg.freeu_b2)
                  if cfg.freeu else None)
 
-        def body(i, state):
-            t = tables.timesteps[i]
-            x = state.sample.astype(latents.dtype)
-            lat_in = jnp.concatenate([x, x], axis=0) if do_cfg else x
-            cond_scale = cfg.controlnet_conditioning_scale * keep[i]
+        interval = max(int(cfg.controlnet_interval), 1)
 
+        def run_controlnet(x, lat_in, t, cond_scale):
             if cfg.guess_mode and do_cfg:
                 down, mid = self.controlnet.apply(
                     params["controlnet"], x, t, text_embeds, pyramid,
                     cond_scale, method=self.controlnet.backbone)
-                down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0)
-                        for d in down]
+                down = tuple(
+                    jnp.concatenate([jnp.zeros_like(d), d], axis=0)
+                    for d in down)
                 mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
             else:
                 down, mid = self.controlnet.apply(
                     params["controlnet"], lat_in, t, ctx_cn, pyramid,
                     cond_scale, method=self.controlnet.backbone)
+            return tuple(down), mid
+
+        def body(i, carry):
+            state, cached = carry
+            t = tables.timesteps[i]
+            x = state.sample.astype(latents.dtype)
+            lat_in = jnp.concatenate([x, x], axis=0) if do_cfg else x
+            cond_scale = cfg.controlnet_conditioning_scale * keep[i]
+
+            if interval == 1:
+                down, mid = run_controlnet(x, lat_in, t, cond_scale)
+                cached_out = cached
+            else:
+                # Faster-Diffusion-style residual caching (PAPERS.md):
+                # recompute the ControlNet every `interval` steps (lax.cond
+                # skips the network on the other steps), reuse the cached
+                # residuals in between (they vary smoothly in t).
+                # Rate/quality knob; interval=1 is exact reference behavior.
+                cached_out = jax.lax.cond(
+                    (i % interval) == 0,
+                    lambda: run_controlnet(x, lat_in, t, cond_scale),
+                    lambda: cached)
+                down, mid = cached_out
 
             eps = self.unet.apply(
                 params["unet"], lat_in, t, ctx_unet,
@@ -128,10 +149,20 @@ class DualFlowPipeline:
             if do_cfg:
                 eps_u, eps_t = jnp.split(eps, 2, axis=0)
                 eps = cfg_combine(eps_u, eps_t, cfg.guidance_scale)
-            return unipc.step(tables, state, eps, i)
+            return (unipc.step(tables, state, eps, i), cached_out)
 
-        state = jax.lax.fori_loop(0, n_steps, body,
-                                  unipc.init_state(latents))
+        state0 = unipc.init_state(latents)
+        # initialize the cache with step-0 shapes (zeros; step 0 always
+        # recomputes when interval > 1)
+        if interval > 1:
+            x0 = latents.astype(latents.dtype)
+            lat0 = jnp.concatenate([x0, x0], axis=0) if do_cfg else x0
+            cached0 = jax.tree.map(
+                jnp.zeros_like,
+                run_controlnet(x0, lat0, tables.timesteps[0], 0.0))
+        else:
+            cached0 = ()
+        (state, _) = jax.lax.fori_loop(0, n_steps, body, (state0, cached0))
         return state.sample
 
     def sample(self, params, rng, text_embeds, uncond_embeds,
