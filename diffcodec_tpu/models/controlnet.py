@@ -96,13 +96,15 @@ class ControlNetTrunk(nn.Module):
                      transformer_depth=c.transformer_depth, dtype=self.dtype,
                      name="mid_block")(x, temb, context)
 
+        # cast the (possibly traced f32) scale to the compute dtype so the
+        # residuals stay bf16 end to end
+        scale = jnp.asarray(conditioning_scale).astype(x.dtype)
         down_res = tuple(
             ZeroConv(r.shape[-1], (1, 1), dtype=self.dtype,
-                     name=f"controlnet_down_blocks_{k}")(r) *
-            conditioning_scale
+                     name=f"controlnet_down_blocks_{k}")(r) * scale
             for k, r in enumerate(res_stack))
         mid_res = ZeroConv(x.shape[-1], (1, 1), dtype=self.dtype,
-                           name="controlnet_mid_block")(x) * conditioning_scale
+                           name="controlnet_mid_block")(x) * scale
         return down_res, mid_res
 
 
