@@ -106,3 +106,40 @@ def test_train_cli_in_loop_validation(tmp_path):
               "--log_every", "1"])
     val_dir = os.path.join(out, "validation")
     assert os.path.isdir(val_dir) and len(os.listdir(val_dir)) > 0
+
+
+def test_export_checkpoint_cli(tmp_path):
+    """Train 2 tiny steps, export to the reference torch layout, reimport
+    through the converter and verify tensor equality."""
+    import export_checkpoint as exp_cli
+    import train_controlnet as train_cli
+    from safetensors.numpy import load_file
+
+    idx = _make_dataset(tmp_path)
+    out = str(tmp_path / "run")
+    train_cli.main(["--index_file", idx, "--output_dir", out, "--tiny",
+                    "--resolution", "32", "--train_batch_size", "2",
+                    "--max_train_steps", "2", "--checkpointing_steps", "2",
+                    "--log_every", "1"])
+    st = str(tmp_path / "cn.safetensors")
+    exp_cli.main(["--checkpoint_dir", out, "--out", st, "--tiny"])
+    sd = load_file(st)
+    assert any(k.startswith("controlnet_down_blocks") for k in sd)
+    assert any(k.startswith("feature_extractor.") for k in sd)
+    # reimport through the converter round-trips
+    import jax
+    import jax.numpy as jnp
+    from diffcodec_tpu.config import ControlNetConfig
+    from diffcodec_tpu.models.controlnet import DualFlowControlNet
+    from diffcodec_tpu.models.hf_import import (controlnet_name_map,
+                                                convert_state_dict)
+    cfg = ControlNetConfig.tiny()
+    net = DualFlowControlNet(cfg)
+    z = jnp.zeros
+    template = net.init(jax.random.PRNGKey(0), z((1, 8, 8, 4)),
+                        z((1,), jnp.int32),
+                        z((1, 3, cfg.unet.cross_attention_dim)),
+                        z((1, 64, 64, 6)), z((1, 64, 64, 4)))
+    converted, missing, unused = convert_state_dict(
+        sd, controlnet_name_map(cfg), template)
+    assert not missing and not unused
