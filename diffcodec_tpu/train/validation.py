@@ -63,4 +63,6 @@ def run_validation(pipeline, params, batch: Dict[str, np.ndarray],
                                pred_u8[b], gt_u8[b])
             Image.fromarray(panel).save(
                 os.path.join(out_dir, f"val_{step:07d}_{b}.png"))
+            if logger is not None:
+                logger.log_image(f"validation/panel_{b}", panel, step)
     return metrics

@@ -120,3 +120,9 @@ class MetricsLogger:
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.scalar(k, float(v), step)
+
+    def log_image(self, tag: str, image, step: int):
+        """HWC uint8 image panel to TensorBoard (the reference's validation
+        image grids, train_controlnet.py:222-248)."""
+        if self.tb is not None:
+            self.tb.image(tag, image, step)
