@@ -107,3 +107,38 @@ def test_activations_to_frechet_sampling():
     d_diff = activations_to_frechet(a, b)
     assert d_same < 1e-8
     np.testing.assert_allclose(d_diff, 4.0, rtol=0.1)  # ~ ||1||^2 * d
+
+
+def test_evaluate_prediction_root(tmp_path):
+    """uvc_codec_eval.py walk-layout parity: {root}/{bpp_case}/{video}."""
+    import json
+
+    from PIL import Image
+
+    from diffcodec_tpu.eval.codec_eval import (evaluate_prediction_root,
+                                               evaluate_video)
+
+    rng = np.random.default_rng(0)
+    orig_root = tmp_path / "orig"
+    pred_root = tmp_path / "pred" / "case_q1"
+    for video in ("vidA",):
+        (orig_root / video).mkdir(parents=True)
+        (pred_root / video).mkdir(parents=True)
+        for i in range(4):
+            frame = (rng.random((176, 176, 3)) * 255).astype(np.uint8)
+            Image.fromarray(frame).save(orig_root / video /
+                                        f"frame_{i:04d}.png")
+            noisy = np.clip(frame.astype(int) +
+                            rng.integers(-6, 6, frame.shape), 0,
+                            255).astype(np.uint8)
+            Image.fromarray(noisy).save(pred_root / video /
+                                        f"frame_{i:04d}.png")
+    out_json = str(tmp_path / "inter_results.json")
+    res = evaluate_prediction_root(str(tmp_path / "pred"), str(orig_root),
+                                   gop_size=2, out_json=out_json)
+    assert "case_q1" in res and "vidA" in res["case_q1"]
+    entry = res["case_q1"]["vidA"]
+    assert 25 < entry["all"]["psnr"] < 50
+    assert "inter" in entry and np.isfinite(entry["inter"]["psnr"])
+    with open(out_json) as f:
+        assert json.load(f)["case_q1"]["vidA"]["all"]["psnr"] > 0
