@@ -179,7 +179,8 @@ def make_cmp_densifier(cmp_model, variables, batch_size: int = 8):
 
 def decode_video(enc: EncodedVideo,
                  sample_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
-                 densify_fn: Optional[Callable] = None) -> np.ndarray:
+                 densify_fn: Optional[Callable] = None,
+                 max_batch: int = 7) -> np.ndarray:
     """Decode to [N,H,W,3] uint8.
 
     sample_fn(cond [B,H,W,6] in [0,1], flow [B,H,W,4] px) -> [B,H,W,3] in
@@ -188,6 +189,9 @@ def decode_video(enc: EncodedVideo,
     densify_fn(sparse [H,W,2], mask [H,W,2], anchor [H,W,3]) -> [H,W,2]
     dense flow — the CMP network for 'sparse' mode (identity default: use
     the decoded sparse field as-is).
+    max_batch: inter frames per sampler call (one GOP-8 of 512px frames
+    saturates a v5e chip's HBM; long sequences decode in chunks — the last
+    chunk is padded to max_batch so only two program shapes ever compile).
     """
     from PIL import Image
     meta = enc.meta
@@ -230,9 +234,20 @@ def decode_video(enc: EncodedVideo,
                 store[item.target] = decode_dense_flow(data)
 
     batch = batch_gop_conditions(frames01, flows_fwd, flows_bwd, schedule)
-    decoded = sample_fn(batch["cond"], batch["flow"])  # [-1,1]
-    decoded_u8 = np.clip((np.asarray(decoded, np.float32) + 1) * 127.5,
-                         0, 255).astype(np.uint8)
+    n = batch["cond"].shape[0]
+    decoded_u8 = np.zeros((n, H, W, 3), np.uint8)
+    step = max_batch if max_batch and max_batch > 0 else n
+    for s0 in range(0, n, step):
+        sl = slice(s0, min(s0 + step, n))
+        cond_c, flow_c = batch["cond"][sl], batch["flow"][sl]
+        nb = cond_c.shape[0]
+        if nb < step and s0 > 0:
+            # pad the tail to the steady batch shape (avoids a recompile)
+            pad = step - nb
+            cond_c = np.concatenate([cond_c, cond_c[-1:].repeat(pad, 0)])
+            flow_c = np.concatenate([flow_c, flow_c[-1:].repeat(pad, 0)])
+        dec = np.asarray(sample_fn(cond_c, flow_c), np.float32)[:nb]
+        decoded_u8[sl] = np.clip((dec + 1) * 127.5, 0, 255).astype(np.uint8)
     for k, item in enumerate(schedule):
         out[item.target] = decoded_u8[k]
     return out

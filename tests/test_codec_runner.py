@@ -162,3 +162,33 @@ def test_sparse_decode_with_cmp_densifier(tmp_path):
                        densify_fn=densify_fn)
     assert out.shape == frames.shape
     assert calls["n"] == 2 * 2  # 2 inter frames x fwd/bwd
+
+
+def test_decode_video_chunked_batches(tmp_path):
+    """Long sequences decode in max_batch chunks with tail padding (only
+    two program shapes)."""
+    frames = _synthetic_video(n=12, H=32, W=32)
+    enc = encode_video(frames, str(tmp_path / "enc"),
+                       CodecConfig(gop_size=4, flow_rate_mode="none"))
+    seen = []
+
+    def sample_fn(cond, flow):
+        seen.append(cond.shape[0])
+        return (0.5 * (cond[..., :3] + cond[..., 3:])) * 2 - 1
+
+    out = decode_video(EncodedVideo.load(str(tmp_path / "enc")), sample_fn,
+                       max_batch=4)
+    # 9 inter frames -> chunks of 4, 4, then padded tail 4
+    assert seen == [4, 4, 4]
+    assert out.shape == frames.shape
+    # chunked result identical to unchunked
+    seen2 = []
+
+    def sample_fn2(cond, flow):
+        seen2.append(cond.shape[0])
+        return (0.5 * (cond[..., :3] + cond[..., 3:])) * 2 - 1
+
+    out2 = decode_video(EncodedVideo.load(str(tmp_path / "enc")),
+                        sample_fn2, max_batch=0)
+    assert seen2 == [9]
+    np.testing.assert_array_equal(out, out2)
