@@ -113,14 +113,15 @@ def cmd_decode(args):
     # TODO(weights): load converted SD-1.5 + DualFlowControlNet checkpoints
     # via models.hf_import when available (see scripts/train_controlnet.py)
     text = z((1, L, D))
+    jit_sample = jax.jit(pipe.sample)
 
     def sample_fn(cond, flow):
         B = cond.shape[0]
         t = jnp.broadcast_to(text, (B, L, D))
-        return pipe.sample(params, jax.random.PRNGKey(args.seed), t, t,
-                           jnp.asarray(cond), jnp.asarray(flow))
+        return jit_sample(params, jax.random.PRNGKey(args.seed), t, t,
+                          jnp.asarray(cond), jnp.asarray(flow))
 
-    out = decode_video(enc, sample_fn)
+    out = decode_video(enc, sample_fn, max_batch=args.max_batch)
     os.makedirs(args.out, exist_ok=True)
     for i, frame in enumerate(out):
         Image.fromarray(frame).save(
@@ -157,6 +158,8 @@ def main(argv=None):
     pd.add_argument("--seed", type=int, default=0)
     pd.add_argument("--tiny", action="store_true",
                     help="tiny random models (smoke testing)")
+    pd.add_argument("--max_batch", type=int, default=7,
+                    help="inter frames per sampler call")
 
     pv = sub.add_parser("eval")
     pv.add_argument("--orig", required=True)
