@@ -154,3 +154,23 @@ def test_controlnet_interval_caching(tiny_pipeline_setup):
     # with a random (zero-head) controlnet the residual influence is tiny;
     # outputs must be close but the path must actually differ in general
     assert np.abs(cached - exact).max() < 1.0
+
+
+def test_sample_with_custom_init_latents(tiny_pipeline_setup):
+    """pipeline.ipynb custom-init-latents experiment parity: caller-provided
+    initial noise is honored (deterministic given latents)."""
+    unet, controlnet, vae, schedule, params = tiny_pipeline_setup
+    B, H = 1, 32
+    pipe = DualFlowPipeline(
+        unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+        sampler=SamplerConfig(num_inference_steps=2, guidance_scale=1.0,
+                              freeu=False))
+    text = jnp.zeros((B, 5, 32))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 6))
+    flow = jnp.zeros((B, H, H, 4))
+    lat = jax.random.normal(jax.random.PRNGKey(3), (B, 4, 4, 4))
+    a = np.asarray(pipe.sample(params, jax.random.PRNGKey(0), text, text,
+                               cond, flow, latents=lat))
+    b = np.asarray(pipe.sample(params, jax.random.PRNGKey(99), text, text,
+                               cond, flow, latents=lat))
+    np.testing.assert_array_equal(a, b)  # rng unused when latents given
