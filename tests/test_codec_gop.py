@@ -142,3 +142,35 @@ def test_evaluate_prediction_root(tmp_path):
     assert "inter" in entry and np.isfinite(entry["inter"]["psnr"])
     with open(out_json) as f:
         assert json.load(f)["case_q1"]["vidA"]["all"]["psnr"] > 0
+
+
+def test_evaluate_classical_codec(tmp_path):
+    """classical_codec_eval.py parity: metrics + bpp from
+    intra_inter_storage.txt."""
+    from PIL import Image
+
+    from diffcodec_tpu.codec.anchors import write_intra_inter_storage
+    from diffcodec_tpu.eval.codec_eval import evaluate_classical_codec
+
+    rng = np.random.default_rng(1)
+    orig_root = tmp_path / "orig"
+    dec_root = tmp_path / "dec"
+    (orig_root / "vidA").mkdir(parents=True)
+    (dec_root / "vidA").mkdir(parents=True)
+    for i in range(4):
+        frame = (rng.random((176, 176, 3)) * 255).astype(np.uint8)
+        Image.fromarray(frame).save(orig_root / "vidA" /
+                                    f"frame_{i:04d}.png")
+        Image.fromarray(frame).save(dec_root / "vidA" /
+                                    f"frame_{i:04d}.png")
+    write_intra_inter_storage(
+        str(dec_root / "vidA" / "intra_inter_storage.txt"),
+        {"intra_bytes": 8000, "inter_bytes": 2000, "total_bytes": 10000})
+    res = evaluate_classical_codec(str(dec_root), str(orig_root),
+                                   gop_size=2, width=176, height=176,
+                                   num_frames=4)
+    entry = res["vidA"]
+    total_px = 4 * 176 * 176
+    np.testing.assert_allclose(entry["total_bpp"], 10000 * 8 / total_px)
+    np.testing.assert_allclose(entry["inter_bpp"], 2000 * 8 / total_px)
+    assert entry["all"]["psnr"] == float("inf")  # identical frames
