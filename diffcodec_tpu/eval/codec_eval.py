@@ -46,11 +46,19 @@ def evaluate_video(orig_dir: str, pred_dir: str, gop_size: int
                         if n.lower().endswith((".png", ".jpg")))
     pred_names = sorted(n for n in os.listdir(pred_dir)
                         if n.lower().endswith((".png", ".jpg")))
-    common = [n for n in orig_names if n in set(pred_names)]
+    pred_set = set(pred_names)
+    # GOP phase is a property of the *original* frame number: select inter
+    # frames over the full original listing first, then drop missing pairs
+    # (`uvc_codec_eval.py:19-41` applies get_inter_frames before
+    # load_image_pairs skips missing files).  Pairing by surviving-pair
+    # position would shift the GOP phase after a mid-sequence gap.
+    common = [(i, n) for i, n in enumerate(orig_names) if n in pred_set]
     skipped = len(orig_names) - len(common)
-    orig = load_frames(orig_dir, common)
-    pred = load_frames(pred_dir, common)
-    inter_idx = [i for i in get_inter_frames(len(common), gop_size)]
+    names = [n for _, n in common]
+    orig = load_frames(orig_dir, names)
+    pred = load_frames(pred_dir, names)
+    inter_orig = set(get_inter_frames(len(orig_names), gop_size))
+    inter_idx = [k for k, (i, _) in enumerate(common) if i in inter_orig]
     out = {
         "all": calculate_metrics_batch(orig, pred),
         "inter": calculate_metrics_batch(orig[inter_idx], pred[inter_idx])

@@ -144,6 +144,46 @@ def test_evaluate_prediction_root(tmp_path):
         assert json.load(f)["case_q1"]["vidA"]["all"]["psnr"] > 0
 
 
+def test_evaluate_video_gop_phase_survives_missing_frame(tmp_path):
+    """A deleted mid-GOP frame must not shift the GOP phase: inter frames
+    are selected by original frame number (`uvc_codec_eval.py:19-41` applies
+    get_inter_frames to the full listing before skipping missing pairs)."""
+    from PIL import Image
+
+    from diffcodec_tpu.eval.codec_eval import evaluate_video
+    from diffcodec_tpu.eval.metrics import calculate_metrics_batch
+
+    rng = np.random.default_rng(2)
+    orig_dir = tmp_path / "orig"
+    pred_dir = tmp_path / "pred"
+    orig_dir.mkdir()
+    pred_dir.mkdir()
+    origs, preds = [], []
+    for i in range(6):
+        frame = (rng.random((176, 176, 3)) * 255).astype(np.uint8)
+        # per-frame distinct noise level so each frame's PSNR is unique
+        noisy = np.clip(frame.astype(int) +
+                        rng.integers(-(2 + 4 * i), 3 + 4 * i, frame.shape),
+                        0, 255).astype(np.uint8)
+        origs.append(frame)
+        preds.append(noisy)
+        Image.fromarray(frame).save(orig_dir / f"frame_{i:04d}.png")
+        if i != 1:  # delete inter frame 1 from the predictions
+            Image.fromarray(noisy).save(pred_dir / f"frame_{i:04d}.png")
+
+    res = evaluate_video(str(orig_dir), str(pred_dir), gop_size=2)
+    assert res["all"]["skipped_frames"] == 1
+    # inter frames by original index with gop 2: {1, 3, 5}; 1 is missing
+    orig_arr = np.stack(origs)
+    pred_arr = np.stack(preds)
+    expected = calculate_metrics_batch(orig_arr[[3, 5]], pred_arr[[3, 5]])
+    np.testing.assert_allclose(res["inter"]["psnr"], expected["psnr"],
+                               rtol=1e-6)
+    # the buggy surviving-pair indexing would have picked frames {2, 4}
+    wrong = calculate_metrics_batch(orig_arr[[2, 4]], pred_arr[[2, 4]])
+    assert abs(res["inter"]["psnr"] - wrong["psnr"]) > 0.1
+
+
 def test_evaluate_classical_codec(tmp_path):
     """classical_codec_eval.py parity: metrics + bpp from
     intra_inter_storage.txt."""
