@@ -9,7 +9,10 @@ Baseline: the reference PyTorch GPU pipeline has no published throughput
 pipeline.  We use 0.25 frames/sec as the PyTorch single-A100 estimate for
 this operating point (30 UniPC steps x CFG x (ControlNet+UNet) at 512px,
 extractor recomputed per step as the reference does), so
-vs_baseline = fps / 0.25.
+vs_baseline = fps / 0.25.  Derivation: 69.0 TFLOPs/frame measured via XLA
+cost analysis (scripts/flops_report.py) at an assumed 5.5% effective A100
+MFU -- see BASELINE.md "Throughput baseline derivation" for the full
+arithmetic and the 0.25-0.40 fps plausibility band.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -1,0 +1,119 @@
+"""Per-component FLOPs report grounding the bench baseline (BASELINE.md).
+
+Lowers the flagship components at the 512px operating point on the CPU
+backend and reads XLA's own cost analysis, then derives the reference
+PyTorch A100 frame time from the same arithmetic the bench's
+`vs_baseline` uses (see BASELINE.md "Throughput baseline derivation").
+
+Reference op shapes: `pipeline.py:308-385` (denoise loop: ControlNet+UNet
+x 2 for CFG per step, extractor recomputed inside ControlNet every step),
+`pipeline.py:390-398` (VAE decode).
+
+Usage: python scripts/flops_report.py  (CPU-only; prints a JSON report)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from diffcodec_tpu.config import ControlNetConfig, UNetConfig, VAEConfig
+from diffcodec_tpu.models.controlnet import DualFlowControlNet
+from diffcodec_tpu.models.extractors import BiDirFeatureExtractor
+from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
+from diffcodec_tpu.models.vae import AutoencoderKL
+
+H = 512          # pixel operating point (validation.py:102-146)
+STEPS = 30       # UniPC steps
+CFG = 2          # classifier-free guidance doubles every model call
+A100_BF16_PEAK = 312e12
+
+
+def flops_of(fn, *args) -> float:
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost["flops"])
+
+
+def main():
+    dtype = jnp.float32  # count FLOPs; dtype does not change the op count
+    h = H // 8
+    B, L, D = 1, 77, 768
+
+    unet_cfg = UNetConfig()
+    cn_cfg = ControlNetConfig(unet=unet_cfg)
+    unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
+    controlnet = DualFlowControlNet(cn_cfg, dtype=dtype)
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
+    extractor = BiDirFeatureExtractor(inject_channels=cn_cfg.inject_channels,
+                                      dtype=dtype)
+
+    sample = jnp.zeros((B, h, h, 4), dtype)
+    t0 = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, L, D), dtype)
+    cond = jnp.zeros((B, H, H, 6), dtype)
+    flow = jnp.zeros((B, H, H, 4), dtype)
+    z = jnp.zeros((B, h, h, 4), dtype)
+
+    k = jax.random.PRNGKey(0)
+    p_cn = controlnet.init(k, sample, t0, ctx, cond, flow)
+    p_unet = unet.init(k, sample, t0, ctx)
+    p_vae = vae.init(k, jnp.zeros((1, 64, 64, 3), dtype))
+    p_ext = extractor.init(k, cond, flow)
+
+    f_ext = flops_of(lambda p, c, f: extractor.apply(p, c, f),
+                     p_ext, cond, flow)
+    f_cn = flops_of(
+        lambda p, s, t, c, cc, fc: controlnet.apply(p, s, t, c, cc, fc),
+        p_cn, sample, t0, ctx, cond, flow)
+
+    def unet_fwd(p, s, t, c):
+        # residual injection sites take zeros here; their FLOPs are adds
+        # already counted inside the UNet graph
+        return unet.apply(p, s, t, c)
+
+    f_unet = flops_of(unet_fwd, p_unet, sample, t0, ctx)
+    f_vae_dec = flops_of(
+        lambda p, zz: vae.apply(p, zz, method=AutoencoderKL.decode), p_vae, z)
+
+    # Reference per-frame total: the torch pipeline recomputes the full
+    # ControlNet (extractor included) and UNet twice per step for CFG
+    # (`pipeline.py:313-372`), then one VAE decode (`pipeline.py:390`).
+    ref_per_frame = STEPS * CFG * (f_cn + f_unet) + f_vae_dec
+    # Our per-frame total: extractor hoisted out of the loop
+    # (sampling/pipeline.py), so the loop reruns only the ControlNet trunk.
+    ours_per_frame = (STEPS * CFG * (f_cn - f_ext + f_unet) + f_vae_dec +
+                      CFG * f_ext)
+
+    report = {
+        "gflops": {
+            "extractor_512px": round(f_ext / 1e9, 1),
+            "controlnet_incl_extractor": round(f_cn / 1e9, 1),
+            "unet_forward_64x64": round(f_unet / 1e9, 1),
+            "vae_decode_512px": round(f_vae_dec / 1e9, 1),
+        },
+        "per_frame_tflops": {
+            "reference_pipeline": round(ref_per_frame / 1e12, 2),
+            "ours_hoisted": round(ours_per_frame / 1e12, 2),
+        },
+        "a100_fps_estimate": {
+            f"mfu_{int(mfu * 100)}pct": round(
+                A100_BF16_PEAK * mfu / ref_per_frame, 3)
+            for mfu in (0.075, 0.15, 0.25)
+        },
+        "operating_point": {"px": H, "steps": STEPS, "cfg": CFG},
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
