@@ -52,7 +52,8 @@ def test_anchor_rd_data_and_bd_table():
     from diffcodec_tpu.eval.bd_rate import bd_rate
 
     anchors, ours = uvg_rd_curves(gop=8)
-    assert set(anchors) == {"H.264", "HEVC", "PLVC"}
+    assert set(anchors) == {"H.264", "HEVC", "DVC", "RLVC", "PLVC",
+                            "DiffVC"}
     table = bd_rate_table(anchors, ours)
     # BD-rate vs HEVC on MS-SSIM computable (overlapping quality range)
     assert np.isfinite(table["HEVC"]["ms_ssim"])
