@@ -103,10 +103,40 @@ def extrapolate_rd_curve(bpp, quality, n_points: int = 7,
     return new_bpp, new_q
 
 
+def bd_rate_pchip_exact(R1, Q1, R2, Q2, higher_better: bool = True
+                        ) -> float:
+    """BD-rate with *exact* PCHIP integration over the quality overlap —
+    the `bjontegaard` pip package's `method='pchip', min_overlap=0` math
+    (`bd_test.py` computes through that library, not through
+    `BD_rate_eval.py`'s 100-point trapezoid)."""
+    R1, Q1, R2, Q2 = map(np.asarray, (R1, Q1, R2, Q2))
+    if not higher_better:
+        Q1, Q2 = -Q1, -Q2
+    s1, s2 = np.argsort(Q1), np.argsort(Q2)
+    Q1, R1 = Q1[s1], R1[s1]
+    Q2, R2 = Q2[s2], R2[s2]
+    minQ = max(Q1.min(), Q2.min())
+    maxQ = min(Q1.max(), Q2.max())
+    if maxQ <= minQ:
+        return float("nan")
+    f1 = _interp(Q1, np.log(R1))
+    f2 = _interp(Q2, np.log(R2))
+    if hasattr(f1, "integrate") and hasattr(f2, "integrate"):
+        int1 = float(f1.integrate(minQ, maxQ))
+        int2 = float(f2.integrate(minQ, maxQ))
+    else:  # <3-point linear fallback: trapezoid is exact for linear
+        Qs = np.linspace(minQ, maxQ, 100)
+        int1 = np.trapezoid(f1(Qs), Qs)
+        int2 = np.trapezoid(f2(Qs), Qs)
+    avg_diff = (int2 - int1) / (maxQ - minQ)
+    return float((np.exp(avg_diff) - 1) * 100)
+
+
 def bd_rate_extrapolated(R1, Q1, R2, Q2, higher_better: bool = True,
                          sanity_threshold: float = 1000.0) -> float:
     """`bd_test.py:81-108` variant: extrapolate both curves, sign-flip
-    lower-is-better metrics, PCHIP BD-rate, NaN on non-increasing rates /
+    lower-is-better metrics, exact-integration PCHIP BD-rate (the
+    `bjontegaard` library's math), NaN on non-increasing rates /
     non-positive rates / unstable (>threshold %) results."""
     R1e, Q1e = extrapolate_rd_curve(np.asarray(R1), np.asarray(Q1))
     R2e, Q2e = extrapolate_rd_curve(np.asarray(R2), np.asarray(Q2))
@@ -114,7 +144,8 @@ def bd_rate_extrapolated(R1, Q1, R2, Q2, higher_better: bool = True,
         return float("nan")
     if np.any(R1e <= 0) or np.any(R2e <= 0):
         return float("nan")
-    out = bd_rate(R1e, Q1e, R2e, Q2e, higher_better=higher_better)
+    out = bd_rate_pchip_exact(R1e, Q1e, R2e, Q2e,
+                              higher_better=higher_better)
     if not np.isfinite(out) or abs(out) > sanity_threshold:
         return float("nan")
     return out
