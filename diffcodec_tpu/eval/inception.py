@@ -27,12 +27,15 @@ class BasicConv2d(nn.Module):
     features: int
     kernel: Tuple[int, int]
     stride: int = 1
+    padding: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        pad = "VALID" if self.padding == 0 else \
+            ((self.padding, self.padding), (self.padding, self.padding))
         x = nn.Conv(self.features, self.kernel,
-                    strides=(self.stride, self.stride), padding="VALID",
+                    strides=(self.stride, self.stride), padding=pad,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          dtype=self.dtype, name="bn")(x)
@@ -49,7 +52,8 @@ class InceptionFID64(nn.Module):
                         name="Conv2d_1a_3x3")(x, train)
         x = BasicConv2d(32, (3, 3), dtype=self.dtype,
                         name="Conv2d_2a_3x3")(x, train)
-        x = BasicConv2d(64, (3, 3), dtype=self.dtype,
+        # torchvision's Conv2d_2b_3x3 is the only padded conv in the prefix
+        x = BasicConv2d(64, (3, 3), padding=1, dtype=self.dtype,
                         name="Conv2d_2b_3x3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [N, 64]

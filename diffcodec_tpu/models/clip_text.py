@@ -51,10 +51,10 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal_mask):
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(self.heads, dtype=self.dtype,
                               name="self_attn")(h, causal_mask)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         h = nn.Dense(x.shape[-1] * 4, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(h)
@@ -80,4 +80,4 @@ class CLIPTextEncoder(nn.Module):
         for i in range(c.layers):
             x = CLIPLayer(c.heads, dtype=self.dtype,
                           name=f"layers_{i}")(x, mask)
-        return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)

@@ -125,8 +125,10 @@ class BiDirFeatureExtractor(nn.Module):
 
             flow_f = resize_and_normalize_flow(flow_fwd, res, res)
             flow_b = resize_and_normalize_flow(flow_bwd, res, res)
-            occ_f = compute_occlusion_mask(flow_b, flow_f)
-            occ_b = compute_occlusion_mask(flow_f, flow_b)
+            # call-site order matches `extractors.py:291-292`: occ_fwd
+            # splats the *forward* flow along the backward flow
+            occ_f = compute_occlusion_mask(flow_f, flow_b)
+            occ_b = compute_occlusion_mask(flow_b, flow_f)
 
             # one warper per scale, shared across directions (the reference
             # calls self.wrapper[idx] for both sides, extractors.py:294-295,
@@ -194,8 +196,10 @@ class BiDirResidueExtractor(nn.Module):
             flow_f = refiner(flow_f)
             flow_b = refiner(flow_b)
 
-            occ_f = compute_occlusion_mask(flow_b, flow_f)
-            occ_b = compute_occlusion_mask(flow_f, flow_b)
+            # call-site order matches `extractors.py:189-190`: occ_f splats
+            # the *forward* flow along the backward flow
+            occ_f = compute_occlusion_mask(flow_f, flow_b)
+            occ_b = compute_occlusion_mask(flow_b, flow_f)
             # shared per-scale warper (reference uses self.warpers[i] for
             # both directions, extractors.py:196-197)
             warper = FeatureWarperSoftsplat(dtype=self.dtype,

@@ -312,22 +312,38 @@ def controlnet_name_map(cfg: ControlNetConfig) -> List[Entry]:
         out += _conv(f"{t}.conv_gamma", ("trunk",) + f + ("conv_gamma",))
         out += _conv(f"{t}.conv_beta", ("trunk",) + f + ("conv_beta",))
     # feature extractor
-    fe = ("feature_extractor",)
+    out += feature_extractor_name_map(
+        cfg.inject_channels, torch_prefix="feature_extractor.",
+        flax_prefix=("feature_extractor",))
+    return out
+
+
+def feature_extractor_name_map(inject_channels: Sequence[int],
+                               torch_prefix: str = "",
+                               flax_prefix: Tuple[str, ...] = ()
+                               ) -> List[Entry]:
+    """Bi_Dir_FeatureExtractor weights (`extractors.py:209-315` module
+    attribute names) -> our BiDirFeatureExtractor.  Standalone so the bare
+    torch extractor's state dict (no prefix) converts directly in parity
+    tests."""
+    out: List[Entry] = []
+    fe = flax_prefix
+    tp = torch_prefix
     for side, torch_side in (("first_pre", "first_pre_extractor"),
                              ("last_pre", "last_pre_extractor")):
         for k, torch_idx in enumerate((0, 2, 4, 6, 8)):
-            out += _conv(f"feature_extractor.{torch_side}.{torch_idx}",
+            out += _conv(f"{tp}{torch_side}.{torch_idx}",
                          fe + (f"{side}_{k}",))
-    for idx in range(n_levels):
-        out += _conv(f"feature_extractor.extractors_first.{idx}.0",
+    for idx in range(len(inject_channels)):
+        out += _conv(f"{tp}extractors_first.{idx}.0",
                      fe + (f"extractor_first_{idx}",))
-        out += _conv(f"feature_extractor.extractors_last.{idx}.0",
+        out += _conv(f"{tp}extractors_last.{idx}.0",
                      fe + (f"extractor_last_{idx}",))
-        out += _conv(f"feature_extractor.wrapper.{idx}.metric_net.0",
+        out += _conv(f"{tp}wrapper.{idx}.metric_net.0",
                      fe + (f"warper_{idx}", "metric_0"))
-        out += _conv(f"feature_extractor.wrapper.{idx}.metric_net.2",
+        out += _conv(f"{tp}wrapper.{idx}.metric_net.2",
                      fe + (f"warper_{idx}", "metric_2"))
-        out += _conv(f"feature_extractor.zero_convs.{idx}",
+        out += _conv(f"{tp}zero_convs.{idx}",
                      fe + (f"zero_conv_{idx}", "conv"))
     return out
 

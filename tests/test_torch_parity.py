@@ -1,0 +1,377 @@
+"""Cross-framework numeric parity: flax modules vs real torch forwards.
+
+Round-1's converter tests were self-referential (torch state dicts
+synthesized from the flax trees).  These tests run *actual torch models* —
+`transformers.CLIPTextModel` and the reference's torch-only modules under
+`/root/reference/controlnet/` and `/root/reference/fvd_utils/` — convert
+their randomly-initialized state dicts through `models.hf_import`, and
+assert the flax forward matches the torch forward numerically.
+
+All tests skip cleanly when torch / transformers / the reference checkout
+are absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+
+def _to_np(t):
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# (i) CLIP text encoder vs transformers.CLIPTextModel
+# ---------------------------------------------------------------------------
+
+def test_clip_text_encoder_matches_transformers():
+    transformers = pytest.importorskip("transformers")
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.config import CLIPTextConfig
+    from diffcodec_tpu.models.clip_text import CLIPTextEncoder
+    from diffcodec_tpu.models.hf_import import (clip_text_name_map,
+                                                convert_state_dict)
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=3, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    tmodel = transformers.CLIPTextModel(hf_cfg).eval()
+
+    ids = torch.randint(0, 512, (2, 77))
+    with torch.no_grad():
+        # last_hidden_state is what the pipeline consumes
+        # (train_controlnet.py:1098)
+        expected = _to_np(tmodel(ids).last_hidden_state)
+
+    cfg = CLIPTextConfig(vocab_size=512, hidden_dim=64, layers=3, heads=4,
+                         max_length=77)
+    model = CLIPTextEncoder(cfg)
+    import jax
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 77), jnp.int32))
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, missing, unused = convert_state_dict(sd, clip_text_name_map(cfg),
+                                                 template, strict=True)
+    # position_ids buffer may or may not appear depending on version
+    assert all("position_ids" in u for u in unused), unused
+    got = np.asarray(model.apply(params, jnp.asarray(ids.numpy())))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Reference torch modules (controlnet/extractors.py, control_utils.py).
+# They import `controlnet.softsplat` (CUDA/CuPy) at module load; stub it
+# with a scalar-loop torch oracle before import.
+# ---------------------------------------------------------------------------
+
+def _torch_softsplat_oracle(tenIn, tenFlow, tenMetric, strMode):
+    """Scalar-loop torch implementation of softsplat semantics
+    (`softsplat.py:232-273`): bilinear scatter-add of value*exp(metric),
+    'soft' mode normalizes by the splatted exp(metric) channel."""
+    assert strMode.split("-")[0] in ("sum", "avg", "linear", "soft")
+    if strMode == "avg":
+        tenIn = torch.cat([tenIn, tenIn.new_ones(tenIn.shape[0], 1,
+                                                 *tenIn.shape[2:])], 1)
+    elif strMode.split("-")[0] == "linear":
+        tenIn = torch.cat([tenIn * tenMetric, tenMetric], 1)
+    elif strMode.split("-")[0] == "soft":
+        tenIn = torch.cat([tenIn * tenMetric.exp(), tenMetric.exp()], 1)
+    B, C, H, W = tenIn.shape
+    out = tenIn.new_zeros(B, C, H, W)
+    inp = tenIn.numpy()
+    flo = tenFlow.numpy()
+    acc = np.zeros((B, C, H, W), np.float32)
+    for b in range(B):
+        for y in range(H):
+            for x in range(W):
+                fx = x + flo[b, 0, y, x]
+                fy = y + flo[b, 1, y, x]
+                if not (np.isfinite(fx) and np.isfinite(fy)):
+                    continue
+                x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        xx, yy = x0 + dx, y0 + dy
+                        if 0 <= xx < W and 0 <= yy < H:
+                            w = ((1 - abs(fx - xx)) * (1 - abs(fy - yy)))
+                            acc[b, :, yy, xx] += inp[b, :, y, x] * w
+    out = torch.from_numpy(acc)
+    if strMode == "sum":
+        return out
+    tenNormalize = out[:, -1:]
+    if strMode in ("avg", "linear", "soft"):
+        tenNormalize = tenNormalize.clone()
+        tenNormalize[tenNormalize == 0.0] = 1.0
+    elif strMode.endswith("-addeps"):
+        tenNormalize = tenNormalize + 1e-7
+    elif strMode.endswith("-zeroeps"):
+        tenNormalize = tenNormalize.clone()
+        tenNormalize[tenNormalize == 0.0] = 1.0
+    elif strMode.endswith("-clipeps"):
+        tenNormalize = tenNormalize.clip(1e-7, None)
+    return out[:, :-1] / tenNormalize
+
+
+@pytest.fixture(scope="module")
+def reference_controlnet_modules():
+    """Import the reference's torch-only controlnet modules with the CUDA
+    softsplat stubbed by the torch oracle."""
+    if not os.path.isdir(os.path.join(REFERENCE, "controlnet")):
+        pytest.skip("reference checkout not available")
+    stub = types.ModuleType("controlnet.softsplat")
+    stub.softsplat = _torch_softsplat_oracle
+    saved = {k: sys.modules.get(k) for k in
+             ("controlnet", "controlnet.softsplat", "controlnet.extractors",
+              "controlnet.control_utils")}
+    pkg = types.ModuleType("controlnet")
+    pkg.__path__ = [os.path.join(REFERENCE, "controlnet")]
+    sys.modules["controlnet"] = pkg
+    sys.modules["controlnet.softsplat"] = stub
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+        cu = importlib.import_module("controlnet.control_utils")
+        ex = importlib.import_module("controlnet.extractors")
+        yield cu, ex
+    finally:
+        sys.path.remove(REFERENCE)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _copy_torch_to_flax(tmodule, template, name_map):
+    from diffcodec_tpu.models.hf_import import convert_state_dict
+    sd = {k: _to_np(v) for k, v in tmodule.state_dict().items()}
+    params, missing, unused = convert_state_dict(sd, name_map, template,
+                                                 strict=True)
+    return params, unused
+
+
+def test_fdn_matches_reference(reference_controlnet_modules):
+    """FDN (SPADE-style feature denormalization, `control_utils.py:19-34`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.extractors import FDN
+    from diffcodec_tpu.models.hf_import import _conv, _gn
+
+    cu, _ = reference_controlnet_modules
+    torch.manual_seed(1)
+    tfdn = cu.FDN(norm_nc=64, label_nc=32).eval()
+    # give the zero-init-free layers real random weights
+    for p in tfdn.parameters():
+        with torch.no_grad():
+            p.uniform_(-0.2, 0.2)
+
+    x = torch.randn(2, 64, 8, 8)
+    cond = torch.randn(2, 32, 8, 8)
+    with torch.no_grad():
+        expected = _to_np(tfdn(x, cond)).transpose(0, 2, 3, 1)
+
+    fdn = FDN()
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    cj = jnp.asarray(cond.numpy().transpose(0, 2, 3, 1))
+    template = fdn.init(jax.random.PRNGKey(0), xj, cj)
+    name_map = (_gn("param_free_norm", ("param_free_norm",)) +
+                _conv("conv_gamma", ("conv_gamma",)) +
+                _conv("conv_beta", ("conv_beta",)))
+    # param_free_norm is affine=False in torch -> no weights to map
+    name_map = [e for e in name_map if "param_free_norm" not in e[0]]
+    params, _ = _copy_torch_to_flax(tfdn, template, name_map)
+    got = np.asarray(fdn.apply(params, xj, cj))
+    np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-4)
+
+
+def test_compute_mask_matches_reference(reference_controlnet_modules):
+    """Occlusion mask (`control_utils.py:11-17`) vs our ops.flow version."""
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.ops.flow import compute_occlusion_mask
+
+    cu, _ = reference_controlnet_modules
+    torch.manual_seed(2)
+    B, H, W = 1, 8, 8
+    flow_f = torch.randn(B, 2, H, W) * 1.5
+    flow_b = torch.randn(B, 2, H, W) * 1.5
+    with torch.no_grad():
+        expected = _to_np(cu.compute_mask(flow_b, flow_f))
+    got = np.asarray(compute_occlusion_mask(
+        jnp.asarray(flow_b.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(flow_f.numpy().transpose(0, 2, 3, 1))))
+    # ours returns NHWC [B,H,W,1]
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), expected,
+                               atol=1e-5)
+
+
+def test_bidir_feature_extractor_matches_reference(
+        reference_controlnet_modules):
+    """Full Bi_Dir_FeatureExtractor pyramid (`extractors.py:209-315`) vs
+    our BiDirFeatureExtractor, weights copied torch->flax, tiny widths."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.extractors import BiDirFeatureExtractor
+    from diffcodec_tpu.models.hf_import import (convert_state_dict,
+                                                feature_extractor_name_map)
+
+    _, ex = reference_controlnet_modules
+    torch.manual_seed(3)
+    inject = (8, 8, 16, 16)
+    text = ex.Bi_Dir_FeatureExtractor(inject_channels=list(inject)).eval()
+    # randomize everything, including the zero convs + metric nets: parity
+    # should hold away from the zero-init fixed point
+    for p in text.parameters():
+        with torch.no_grad():
+            p.uniform_(-0.15, 0.15)
+
+    # the reference hardcodes the pyramid at 64/32/16/8 (extractors.py:281),
+    # i.e. assumes 512px conditioning
+    B, H = 1, 512
+    cond = torch.rand(B, 6, H, H)
+    flow = torch.randn(B, 4, H, H) * 20.0
+    with torch.no_grad():
+        expected = [_to_np(t).transpose(0, 2, 3, 1)
+                    for t in text(cond, flow)]
+
+    model = BiDirFeatureExtractor(inject_channels=inject)
+    cj = jnp.asarray(cond.numpy().transpose(0, 2, 3, 1))
+    fj = jnp.asarray(flow.numpy().transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), cj, fj)
+    sd = {k: _to_np(v) for k, v in text.state_dict().items()}
+    params, missing, unused = convert_state_dict(
+        sd, feature_extractor_name_map(inject), template, strict=True)
+    assert not unused, unused
+    got = model.apply(params, cj, fj)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert np.asarray(g).shape == e.shape
+        np.testing.assert_allclose(np.asarray(g), e, atol=5e-5, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# (iv) FID-64 Inception prefix vs an independent torch re-declaration of
+# torchvision/pytorch-fid's InceptionV3 head (Conv2d_1a_3x3 s2 valid ->
+# Conv2d_2a_3x3 valid -> Conv2d_2b_3x3 pad1 -> MaxPool 3x3 s2 -> avgpool)
+# ---------------------------------------------------------------------------
+
+def test_inception_fid64_prefix_matches_torch_redeclaration():
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.eval.inception import (InceptionFID64,
+                                              inception64_batch_stats_map,
+                                              inception64_name_map)
+    from diffcodec_tpu.models.hf_import import convert_state_dict
+
+    class BasicConv2d(torch.nn.Module):
+        def __init__(self, cin, cout, stride=1, padding=0):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(cin, cout, 3, stride=stride,
+                                        padding=padding, bias=False)
+            self.bn = torch.nn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return torch.nn.functional.relu(self.bn(self.conv(x)))
+
+    class TorchFID64(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, padding=1)
+
+        def forward(self, x):
+            x = self.Conv2d_1a_3x3(x)
+            x = self.Conv2d_2a_3x3(x)
+            x = self.Conv2d_2b_3x3(x)
+            x = torch.nn.functional.max_pool2d(x, 3, stride=2)
+            return torch.nn.functional.adaptive_avg_pool2d(x, 1).flatten(1)
+
+    torch.manual_seed(5)
+    tmodel = TorchFID64().eval()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = torch.rand(2, 3, 299, 299) * 2 - 1
+    with torch.no_grad():
+        expected = _to_np(tmodel(x))
+
+    model = InceptionFID64()
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, _, _ = convert_state_dict(sd, inception64_name_map(),
+                                      variables["params"], strict=True)
+    stats, _, _ = convert_state_dict(sd, inception64_batch_stats_map(),
+                                     variables["batch_stats"], strict=True)
+    got = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                 xj))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# (iii) I3D (FVD backbone) vs the reference's vendored pytorch_i3d
+# ---------------------------------------------------------------------------
+
+def test_i3d_matches_reference_pytorch_i3d():
+    i3d_dir = os.path.join(REFERENCE, "fvd_utils", "models", "fvd")
+    if not os.path.isdir(i3d_dir):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, i3d_dir)
+    try:
+        from pytorch_i3d import InceptionI3d
+    finally:
+        sys.path.remove(i3d_dir)
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.hf_import import convert_state_dict
+    from diffcodec_tpu.models.i3d import (InceptionI3D,
+                                          i3d_batch_stats_map, i3d_name_map)
+
+    torch.manual_seed(4)
+    tmodel = InceptionI3d(num_classes=400, in_channels=3).eval()
+    # randomize the BN running stats too, so eval-mode normalization is a
+    # real operation and not the (0, 1) identity
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    # the torch model's 7x7 avg-pool assumes 224px inputs; 16 frames keeps
+    # its [2,7,7] temporal window equivalent to a plain temporal mean
+    x = torch.rand(1, 3, 16, 224, 224)
+    with torch.no_grad():
+        expected_logits = _to_np(tmodel(x)).squeeze()
+
+    model = InceptionI3D(num_classes=400)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))  # NTHWC
+    variables = model.init(jax.random.PRNGKey(0), xj[:, :, :64, :64])
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, _, _ = convert_state_dict(sd, i3d_name_map(),
+                                      variables["params"], strict=True)
+    stats, _, _ = convert_state_dict(sd, i3d_batch_stats_map(),
+                                     variables["batch_stats"], strict=True)
+    got = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                 xj)).squeeze()
+    assert got.shape == expected_logits.shape
+    np.testing.assert_allclose(got, expected_logits, atol=1e-4, rtol=1e-3)
