@@ -247,6 +247,9 @@ def decode_video(enc: EncodedVideo,
             cond_c = np.concatenate([cond_c, cond_c[-1:].repeat(pad, 0)])
             flow_c = np.concatenate([flow_c, flow_c[-1:].repeat(pad, 0)])
         dec = np.asarray(sample_fn(cond_c, flow_c), np.float32)[:nb]
+        # non-finite pixels (a diverged sampler step) clamp to black rather
+        # than poisoning the uint8 cast
+        dec = np.nan_to_num(dec, nan=-1.0, posinf=1.0, neginf=-1.0)
         decoded_u8[sl] = np.clip((dec + 1) * 127.5, 0, 255).astype(np.uint8)
     for k, item in enumerate(schedule):
         out[item.target] = decoded_u8[k]

@@ -81,7 +81,7 @@ def _build_pipeline(args):
         sampler=SamplerConfig(
             num_inference_steps=args.steps, guidance_scale=args.guidance,
             controlnet_conditioning_scale=args.cond_scale))
-    return pipe, unet_cfg
+    return pipe, {"unet": unet_cfg, "controlnet": cn_cfg, "vae": vae_cfg}
 
 
 def cmd_decode(args):
@@ -95,13 +95,10 @@ def cmd_decode(args):
     enable_persistent_cache()
     enc = EncodedVideo.load(args.bitstream)
     H, W = enc.meta["height"], enc.meta["width"]
-    pipe, unet_cfg = _build_pipeline(args)
+    pipe, cfgs = _build_pipeline(args)
     z = jnp.zeros
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    n_inter = enc.meta["num_frames"] - (
-        enc.meta["num_frames"] + enc.meta["gop_size"] - 1) // \
-        enc.meta["gop_size"]
-    L, D = 77, unet_cfg.cross_attention_dim
+    L, D = 77, cfgs["unet"].cross_attention_dim
     params = {
         "unet": pipe.unet.init(k1, z((1, H // 8, W // 8, 4)),
                                z((1,), jnp.int32), z((1, L, D))),
@@ -110,15 +107,44 @@ def cmd_decode(args):
             z((1, H, W, 6)), z((1, H, W, 4))),
         "vae": pipe.vae.init(k3, z((1, 64, 64, 3))),
     }
-    # TODO(weights): load converted SD-1.5 + DualFlowControlNet checkpoints
-    # via models.hf_import when available (see scripts/train_controlnet.py)
     text = z((1, L, D))
+    if args.sd_checkpoint_dir:
+        # the weights-readiness path: torch-layout SD-1.5 root (+ optional
+        # DualFlowControlNet safetensors) through the hf_import converters
+        from diffcodec_tpu.config import CLIPTextConfig
+        from diffcodec_tpu.models.clip_text import CLIPTextEncoder
+        from diffcodec_tpu.models.weights import load_sd_checkpoint_dir
+        from diffcodec_tpu.utils.tokenizer import default_tokenizer
+
+        clip_cfg = CLIPTextConfig() if not args.tiny else \
+            CLIPTextConfig.tiny()
+        text_encoder = CLIPTextEncoder(clip_cfg, dtype=jnp.bfloat16)
+        text_template = text_encoder.init(
+            jax.random.PRNGKey(4),
+            z((1, clip_cfg.max_length), jnp.int32))
+        loaded = load_sd_checkpoint_dir(
+            args.sd_checkpoint_dir,
+            templates={**params, "text": text_template},
+            configs={"unet": cfgs["unet"], "controlnet": cfgs["controlnet"],
+                     "vae": cfgs["vae"], "text": clip_cfg},
+            controlnet_path=args.controlnet_checkpoint or None)
+        params.update({k: v for k, v in loaded.items() if k in params})
+        tokenizer = default_tokenizer(clip_cfg.max_length)
+        tpos, tneg = pipe.encode_prompt(
+            text_encoder, loaded["text"], tokenizer, [args.prompt],
+            [args.negative_prompt])
+        text = jnp.asarray(tpos, jnp.bfloat16)
+        uncond = jnp.asarray(tneg, jnp.bfloat16)
+        L, D = text.shape[1], text.shape[2]
+    else:
+        uncond = text
     jit_sample = jax.jit(pipe.sample)
 
     def sample_fn(cond, flow):
         B = cond.shape[0]
         t = jnp.broadcast_to(text, (B, L, D))
-        return jit_sample(params, jax.random.PRNGKey(args.seed), t, t,
+        u = jnp.broadcast_to(uncond, (B, L, D))
+        return jit_sample(params, jax.random.PRNGKey(args.seed), t, u,
                           jnp.asarray(cond), jnp.asarray(flow))
 
     out = decode_video(enc, sample_fn, max_batch=args.max_batch)
@@ -160,6 +186,15 @@ def main(argv=None):
                     help="tiny random models (smoke testing)")
     pd.add_argument("--max_batch", type=int, default=7,
                     help="inter frames per sampler call")
+    pd.add_argument("--sd_checkpoint_dir", default="",
+                    help="diffusers-layout SD-1.5 root (vae/ unet/ "
+                         "text_encoder/ [controlnet/]) of torch weights")
+    pd.add_argument("--controlnet_checkpoint", default="",
+                    help="DualFlowControlNet torch state dict "
+                         "(.safetensors/.bin), overrides controlnet/ "
+                         "in --sd_checkpoint_dir")
+    pd.add_argument("--prompt", default="")
+    pd.add_argument("--negative_prompt", default="")
 
     pv = sub.add_parser("eval")
     pv.add_argument("--orig", required=True)
