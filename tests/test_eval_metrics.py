@@ -169,3 +169,35 @@ def test_bd_rate_extrapolated_headline_points():
     got = bd_rate_extrapolated(HEVC_UVG_GOP8["bpp"], HEVC_UVG_GOP8["ms_ssim"],
                                OURS_UVG[8]["bpp"], OURS_UVG[8]["ms_ssim"])
     assert np.isfinite(got) or np.isnan(got)  # protocol runs; value logged
+
+
+def test_frequency_errors_band_split(tmp_path):
+    """improv_experiments.ipynb frequency-error parity: a blurred copy has
+    only high-frequency error; a brightness shift only low-frequency."""
+    import numpy as np
+
+    from diffcodec_tpu.eval.freq_analysis import (frequency_errors,
+                                                  plot_frequency_errors)
+
+    rng = np.random.default_rng(0)
+    orig = rng.random((64, 64, 3)).astype(np.float32)
+
+    res_blur = frequency_errors(orig, np.asarray(
+        __import__("diffcodec_tpu.eval.freq_analysis",
+                   fromlist=["gaussian_blur"]).gaussian_blur(
+            orig[None], 15, 3.0))[0])
+    # blurring removes high frequencies -> high error dominates
+    assert res_blur["high_error"] > 5 * res_blur["low_error"]
+
+    shifted = np.clip(orig + 0.1, 0, 1)
+    inner = frequency_errors(orig[8:-8, 8:-8], shifted[8:-8, 8:-8])
+    # a DC shift is almost all low-frequency error
+    assert inner["low_error"] > 5 * inner["high_error"]
+
+    # identical -> zero
+    same = frequency_errors(orig, orig)
+    assert same["low_error"] == 0.0 and same["high_error"] == 0.0
+
+    out = str(tmp_path / "bands.png")
+    plot_frequency_errors({"vidA": res_blur, "vidB": inner}, out)
+    assert __import__("os").path.getsize(out) > 1000
