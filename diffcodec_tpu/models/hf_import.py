@@ -348,6 +348,73 @@ def feature_extractor_name_map(inject_channels: Sequence[int],
     return out
 
 
+def residue_extractor_name_map(inject_channels: Sequence[int],
+                               torch_prefix: str = "",
+                               flax_prefix: Tuple[str, ...] = ()
+                               ) -> List[Entry]:
+    """Bi_Dir_ResidueExtractor weights (`extractors.py:67-207` attribute
+    names) -> our BiDirResidueExtractor.  The reference's
+    flow_feature_encoders are declared but never used in forward
+    (`extractors.py:123-128`) and our model omits them; their torch keys
+    surface as `unused` on conversion."""
+    out: List[Entry] = []
+    fe = flax_prefix
+    tp = torch_prefix
+    for side in ("prev", "next"):
+        for k, torch_idx in enumerate((0, 2, 4)):
+            out += _conv(f"{tp}{side}_pre.{torch_idx}",
+                         fe + (f"{side}_pre_{k}",))
+    for idx in range(len(inject_channels)):
+        out += _conv(f"{tp}prev_pyramids.{idx}.0",
+                     fe + (f"prev_pyramid_{idx}",))
+        out += _conv(f"{tp}next_pyramids.{idx}.0",
+                     fe + (f"next_pyramid_{idx}",))
+        out += _conv(f"{tp}flow_refiners.{idx}",
+                     fe + (f"flow_refiner_{idx}",))
+        out += _conv(f"{tp}warpers.{idx}.metric_net.0",
+                     fe + (f"warper_{idx}", "metric_0"))
+        out += _conv(f"{tp}warpers.{idx}.metric_net.2",
+                     fe + (f"warper_{idx}", "metric_2"))
+        out += _conv(f"{tp}zero_convs.{idx}",
+                     fe + (f"zero_conv_{idx}", "conv"))
+    return out
+
+
+def warp_extractor_name_map(inject_channels: Sequence[int],
+                            torch_prefix: str = "",
+                            flax_prefix: Tuple[str, ...] = ()
+                            ) -> List[Entry]:
+    """WarpExtractor weights (`extractors.py:26-65`, enc1..enc5 ConvBlocks
+    + zero convs) -> our WarpExtractor."""
+    out: List[Entry] = []
+    fe = flax_prefix
+    tp = torch_prefix
+    names = [("enc1", ("enc1",))] + [
+        (f"enc{i + 2}", (f"enc_{i + 2}",))
+        for i in range(len(inject_channels))]
+    for tname, fname in names:
+        out += _conv(f"{tp}{tname}.block.0", fe + fname + ("conv1",))
+        out += _conv(f"{tp}{tname}.block.2", fe + fname + ("conv2",))
+    for idx in range(len(inject_channels)):
+        out += _conv(f"{tp}zero_convs.{idx}",
+                     fe + (f"zero_conv_{idx}", "conv"))
+    return out
+
+
+def rescontrolnet_name_map(cfg: ControlNetConfig) -> List[Entry]:
+    """ResControlNet (`flow_resnet.py:23-48`): trunk + FDNs like the
+    DualFlow map, plus the residue + warp extractors."""
+    base = controlnet_name_map(cfg)
+    out = [e for e in base if not e[0].startswith("feature_extractor.")]
+    out += residue_extractor_name_map(
+        cfg.inject_channels, torch_prefix="feature_extractor.",
+        flax_prefix=("feature_extractor",))
+    out += warp_extractor_name_map(
+        cfg.inject_channels, torch_prefix="warp_extractor.",
+        flax_prefix=("warp_extractor",))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # LPIPS (alex)
 # ---------------------------------------------------------------------------

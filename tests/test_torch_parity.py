@@ -261,6 +261,85 @@ def test_bidir_feature_extractor_matches_reference(
         np.testing.assert_allclose(np.asarray(g), e, atol=5e-5, rtol=1e-3)
 
 
+def test_bidir_residue_extractor_matches_reference(
+        reference_controlnet_modules):
+    """Bi_Dir_ResidueExtractor pyramid (`extractors.py:67-207`) vs our
+    BiDirResidueExtractor (ResControlNet conditioning path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.extractors import BiDirResidueExtractor
+    from diffcodec_tpu.models.hf_import import (convert_state_dict,
+                                                residue_extractor_name_map)
+
+    _, ex = reference_controlnet_modules
+    torch.manual_seed(6)
+    inject = (8, 8, 16, 16)
+    tmod = ex.Bi_Dir_ResidueExtractor(inject_channels=list(inject)).eval()
+    for p in tmod.parameters():
+        with torch.no_grad():
+            p.uniform_(-0.15, 0.15)
+
+    B, H = 1, 512  # the reference asserts 512x512 inputs
+    prev = torch.rand(B, 3, H, H)
+    nxt = torch.rand(B, 3, H, H)
+    fwd = torch.randn(B, 2, H, H) * 20.0
+    bwd = torch.randn(B, 2, H, H) * 20.0
+    with torch.no_grad():
+        expected = [_to_np(t).transpose(0, 2, 3, 1)
+                    for t in tmod(prev, nxt, fwd, bwd)]
+
+    model = BiDirResidueExtractor(inject_channels=inject)
+    to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    args = tuple(map(to_nhwc, (prev, nxt, fwd, bwd)))
+    template = model.init(jax.random.PRNGKey(0), *args)
+    sd = {k: _to_np(v) for k, v in tmod.state_dict().items()}
+    params, missing, unused = convert_state_dict(
+        sd, residue_extractor_name_map(inject), template, strict=True)
+    # flow_feature_encoders are dead code in the reference forward
+    assert all("flow_feature_encoders" in u for u in unused), unused
+    got = model.apply(params, *args)
+    for g, e in zip(got, expected):
+        assert np.asarray(g).shape == e.shape
+        np.testing.assert_allclose(np.asarray(g), e, atol=5e-5, rtol=1e-3)
+
+
+def test_warp_extractor_matches_reference(reference_controlnet_modules):
+    """WarpExtractor pyramid (`extractors.py:26-65`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.extractors import WarpExtractor
+    from diffcodec_tpu.models.hf_import import (convert_state_dict,
+                                                warp_extractor_name_map)
+
+    _, ex = reference_controlnet_modules
+    torch.manual_seed(7)
+    # the reference hardcodes the encoder widths at the SD inject sizes
+    # (`extractors.py:36-40`), so test at the real widths on a small input
+    inject = (320, 320, 640, 1280)
+    tmod = ex.WarpExtractor(inject_channels=list(inject)).eval()
+    for p in tmod.parameters():
+        with torch.no_grad():
+            p.uniform_(-0.05, 0.05)
+
+    x = torch.rand(1, 3, 128, 128)
+    with torch.no_grad():
+        expected = [_to_np(t).transpose(0, 2, 3, 1) for t in tmod(x)]
+
+    model = WarpExtractor(inject_channels=inject)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), xj)
+    sd = {k: _to_np(v) for k, v in tmod.state_dict().items()}
+    params, missing, unused = convert_state_dict(
+        sd, warp_extractor_name_map(inject), template, strict=True)
+    assert not unused, unused
+    got = model.apply(params, xj)
+    for g, e in zip(got, expected):
+        assert np.asarray(g).shape == e.shape
+        np.testing.assert_allclose(np.asarray(g), e, atol=5e-5, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # (iv) FID-64 Inception prefix vs an independent torch re-declaration of
 # torchvision/pytorch-fid's InceptionV3 head (Conv2d_1a_3x3 s2 valid ->
