@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--train_batch_size", type=int, default=4)
     p.add_argument("--dataloader_drop_text_prob", type=float, default=0.3)
+    p.add_argument("--dataloader_num_workers", type=int, default=4,
+                   help="prefetch worker threads (0 = synchronous), the "
+                        "reference's DataLoader num_workers role")
     # model
     p.add_argument("--model_variant", choices=["dualflow", "res"],
                    default="dualflow")
@@ -246,8 +249,16 @@ def main(argv=None):
                 out_dir=os.path.join(args.output_dir, "validation"),
                 logger=metrics_logger, step=step)
     logger.info("training from step %d to %d", step, args.max_train_steps)
+    if args.dataloader_num_workers > 0:
+        from diffcodec_tpu.train.prefetch import PrefetchLoader
+        loader = PrefetchLoader(dataset, B,
+                                num_workers=args.dataloader_num_workers,
+                                seed=args.seed, text_encoder=embed_text)
+        batches = loader.epoch
+    else:
+        batches = lambda: dataset.iter_batches(B, text_encoder=embed_text)
     while step < args.max_train_steps:
-        for batch in dataset.iter_batches(B, text_encoder=embed_text):
+        for batch in batches():
             if step >= args.max_train_steps:
                 break
             batch.pop("text")
