@@ -80,6 +80,11 @@ def main():
         "unet": unet.init(k2, sample, t0, ctx),
         "vae": vae.init(k3, jnp.zeros((1, 64, 64, 3), dtype)),
     }
+    # frozen weights live on device in the compute dtype (the reference
+    # casts the frozen stack to weight_dtype, train_controlnet.py:984-993);
+    # keeps 2.5 GB of HBM free for multi-GOP batches
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
     text = jax.random.normal(jax.random.PRNGKey(1), (B, L, D), dtype) * 0.02
     uncond = jnp.zeros((B, L, D), dtype)

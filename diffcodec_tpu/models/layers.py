@@ -155,6 +155,38 @@ def _flash_self_attention(q, k, v, scale):
     return out[:, :, :L, :D].transpose(0, 2, 1, 3)  # [B, L, H, D]
 
 
+def _qblock_self_attention(q, k, v, scale, q_block: int = 512):
+    """Exact attention scanned over Q blocks.
+
+    Each step computes a full-row softmax over all keys for one block of
+    queries, so the math is identical to the einsum path (same matmul
+    shapes, no online-softmax correction arithmetic) but the fp32 logits
+    buffer is [B, H, q_block, Lk] instead of [B, H, Lq, Lk] — at 64x64
+    latents that is 8x less HBM, which is what unlocks multi-GOP decode
+    batches (the reference-scale einsum logits are ~15 GB at 28 frames
+    with CFG).
+
+    q, k, v: [B, L, H, D]; returns [B, Lq, H, D] in v.dtype.
+    """
+    B, Lq, H, D = q.shape
+    pad = (-Lq) % q_block
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nb = (Lq + pad) // q_block
+    qb = q.reshape(B, nb, q_block, H, D).transpose(1, 0, 2, 3, 4)
+
+    def body(_, qblk):
+        s = jnp.einsum("bqhd,bkhd->bhqk", qblk, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        return None, o
+
+    _, outs = jax.lax.scan(body, None, qb)  # [nb, B, q_block, H, D]
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Lq + pad, H, D)
+    return out[:, :Lq]
+
+
 def _chunked_self_attention(q, k, v, scale, chunk: int = 1024):
     """Memory-efficient attention: lax.scan over KV chunks with online
     softmax (f32 running max / denominator / accumulator).  Peak memory
@@ -211,12 +243,23 @@ class Attention(nn.Module):
     head_dim: int
     out_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
-    # long self-attention implementation: 'einsum' (measured fastest on v5e
-    # for SD-1.5 shapes), 'flash' (Pallas kernel; slower here due to
-    # 128-lane head padding at head_dim 40-160), 'chunked' (online-softmax
-    # scan; ~2x slower but O(L*chunk) memory — for batches whose logits
-    # would OOM HBM)
-    self_attn_impl: str = "einsum"
+    # long self-attention implementation (all equivalent math; measured
+    # chained-op times on v5e at SD shapes, bf16 operands / f32 softmax):
+    #   'auto'   - static shape-based dispatch (the default):
+    #              L in [1024, 2048) -> flash (2.4ms vs einsum 3.2ms at
+    #              B14 L1024 D80); L >= 2048 -> einsum while the f32
+    #              logits fit the budget (7.8ms at B14 L4096 D40), else
+    #              qchunk (15.0ms at B28 L4096 where einsum OOMs; flash
+    #              is 20.3ms there - MXU-bound on 40->128 lane padding)
+    #   'einsum' - full [B,H,L,L] f32 logits
+    #   'qchunk' - exact softmax scanned over Q blocks, O(L*block) logits
+    #   'flash'  - stock Pallas kernel (pads head_dim to 128 lanes)
+    #   'chunked'- online-softmax KV scan, lowest memory
+    self_attn_impl: str = "auto"
+    # einsum logits budget for 'auto' (bytes); 8 GiB keeps the single-GOP
+    # decode batch (14 CFG samples at 64x64 -> 7 GiB logits) on the fast
+    # einsum path while pushing 2+-GOP batches to qchunk
+    auto_logits_budget: int = 8 * 1024 ** 3
     # impls other than einsum kick in only for self-attention sequences at
     # least this long
     long_attn_min_len: int = 1024
@@ -241,10 +284,28 @@ class Attention(nn.Module):
         scale = 1.0 / math.sqrt(self.head_dim)
 
         long_self = (is_self and Lq >= self.long_attn_min_len and Lq == Lk)
-        if long_self and self.self_attn_impl == "flash" and \
+        impl = self.self_attn_impl
+        q_block = 2048
+        if long_self and impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            logits_bytes = 4 * B * self.heads * Lq * Lk
+            if on_tpu and Lq < 2048:
+                impl = "flash"
+            elif logits_bytes <= self.auto_logits_budget:
+                impl = "einsum"
+            else:
+                # bound the scanned block's f32 logits to ~2 GiB so the
+                # peak stays flat however large the frame batch grows
+                impl = "qchunk"
+                per_row = 4 * B * self.heads * Lk
+                q_block = max(256, min(2048, (2 << 30) // per_row // 256
+                                       * 256))
+        if long_self and impl == "flash" and \
                 jax.default_backend() == "tpu":
             out = _flash_self_attention(q, k, v, scale)
-        elif long_self and self.self_attn_impl == "chunked":
+        elif long_self and impl == "qchunk":
+            out = _qblock_self_attention(q, k, v, scale, q_block=q_block)
+        elif long_self and impl == "chunked":
             out = _chunked_self_attention(q, k, v, scale)
         else:
             # bf16 operands with f32 MXU accumulation (one MXU pass instead

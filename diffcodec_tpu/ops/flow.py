@@ -95,7 +95,7 @@ def resize_flow_by_factor(flow: jnp.ndarray, target_h: int,
 
 def compute_occlusion_mask(flow_bwd: jnp.ndarray, flow_fwd: jnp.ndarray,
                            threshold: float = 0.3, *,
-                           impl: str = "xla") -> jnp.ndarray:
+                           impl: str = "auto") -> jnp.ndarray:
     """Forward-backward consistency occlusion mask.
 
     Parity: `controlnet/control_utils.py:11-17` `compute_mask(flow_b, flow_f)`:

@@ -232,7 +232,7 @@ def splat_sum(vals: jnp.ndarray, flow: jnp.ndarray, *,
 
 def softsplat(vals: jnp.ndarray, flow: jnp.ndarray,
               metric: Optional[jnp.ndarray], mode: str, *,
-              impl: str = "xla") -> jnp.ndarray:
+              impl: str = "auto") -> jnp.ndarray:
     """Forward (softmax) splatting, reference `softsplat()` parity.
 
     Args:

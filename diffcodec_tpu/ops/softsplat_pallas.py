@@ -119,8 +119,11 @@ def splat_sum_pallas(vals: jnp.ndarray, flow: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
 
     # rows per chunk: bound the corner-stacked VMEM transients
-    # (A_all [4q, H] + Bw_all [4q, W] + vals_all/M [4q, C] with q = rows*W)
-    budget = 768 * 1024
+    # (A_all [4q, H] + Bw_all [4q, W] + vals_all/M [4q, C] with q = rows*W).
+    # 384K keeps Mosaic's stack under the 16M scoped-vmem default with
+    # headroom — at 768K the mask-splat instance inside the full sampler
+    # program hit 16.51M and failed to compile at 2-GOP batches.
+    budget = 384 * 1024
     per_row = 4 * W * (H + W + 3 * C)
     rows = max(1, budget // max(per_row, 1))
     rows = min(rows, H)
@@ -145,5 +148,14 @@ def splat_sum_pallas(vals: jnp.ndarray, flow: jnp.ndarray,
         out_specs=pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(vals, flow)
     return out
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+    # raise the scoped-vmem ceiling for this kernel: its stack transients
+    # (~8M at the 384K chunk budget) plus XLA's in-context accounting can
+    # exceed the 16M default inside large programs
+    return pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)

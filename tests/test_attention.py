@@ -1,0 +1,104 @@
+"""Attention implementation equivalence tests.
+
+The denoise loop's hot op is the 64x64-latent self-attention
+(`pipeline.py:308-385` UNet/ControlNet transformer blocks).  All memory-
+bounded implementations must match the reference einsum math exactly
+(qchunk: identical ops, just scanned) or to fp32-accumulation tolerance
+(chunked online softmax).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffcodec_tpu.models.layers import (Attention,
+                                         _chunked_self_attention,
+                                         _qblock_self_attention)
+
+
+def _einsum_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _qkv(L, seed=0, B=2, H=3, D=40, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, L, H, D)), dtype)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("L,q_block", [(1024, 512), (1536, 512), (640, 512)])
+def test_qblock_matches_einsum_exactly(L, q_block):
+    q, k, v = _qkv(L)
+    scale = 0.158
+    expected = _einsum_attention(q, k, v, scale)
+    got = _qblock_self_attention(q, k, v, scale, q_block=q_block)
+    # same math, but XLA fuses the scanned and monolithic graphs
+    # differently -> fp32 roundoff-level differences only
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_qblock_bf16_close_to_einsum():
+    q, k, v = _qkv(1024, dtype=jnp.bfloat16)
+    scale = 0.158
+    expected = _einsum_attention(q, k, v, scale).astype(jnp.float32)
+    got = _qblock_self_attention(q, k, v, scale).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-2)  # bf16 resolution
+
+
+def test_chunked_close_to_einsum():
+    q, k, v = _qkv(1024)
+    scale = 0.1
+    expected = _einsum_attention(q, k, v, scale)
+    got = _chunked_self_attention(q, k, v, scale, chunk=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_attention_module_impl_dispatch_equivalence():
+    """The module output must not depend on the impl choice."""
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 1024, 32)),
+                    jnp.float32)
+    outs = {}
+    for impl in ("einsum", "qchunk", "chunked"):
+        m = Attention(heads=4, head_dim=8, self_attn_impl=impl,
+                      long_attn_min_len=1024)
+        params = m.init(jax.random.PRNGKey(0), x)
+        outs[impl] = np.asarray(m.apply(params, x))
+    np.testing.assert_allclose(outs["qchunk"], outs["einsum"], atol=1e-6)
+    np.testing.assert_allclose(outs["chunked"], outs["einsum"], atol=1e-5)
+
+
+def test_auto_dispatch_matches_einsum():
+    """'auto' must be output-equivalent whichever branch it picks (on CPU:
+    einsum when the logits fit the budget, qchunk when forced over it)."""
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 1024, 32)),
+                    jnp.float32)
+    ref = None
+    for budget in (8 << 30, 1):  # fits -> einsum; tiny budget -> qchunk
+        m = Attention(heads=4, head_dim=8, self_attn_impl="auto",
+                      auto_logits_budget=budget, long_attn_min_len=1024)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(m.apply(params, x))
+        if ref is None:
+            ref = out
+        else:
+            np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_cross_attention_uses_einsum_path():
+    """Cross-attention (L_kv=77) never routes through the long-self paths."""
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 4096, 32)),
+                    jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(3).standard_normal((1, 77, 32)),
+                      jnp.float32)
+    m = Attention(heads=4, head_dim=8, self_attn_impl="qchunk")
+    params = m.init(jax.random.PRNGKey(0), x, ctx)
+    out = m.apply(params, x, ctx)
+    assert out.shape == (1, 4096, 32)
+    assert np.isfinite(np.asarray(out)).all()
