@@ -394,20 +394,66 @@ class Downsample2D(nn.Module):
                        name="conv")(x)
 
 
+class _UpsampleConv(nn.Module):
+    """conv3x3(nearest_up2(x)) computed as four phase convs.
+
+    For nearest 2x upsampling, output pixel (2i+di, 2j+dj) reads input
+    pixels {i + floor((di+a-1)/2)} for tap a — i.e. each output phase
+    (di, dj) in {0,1}^2 sees only a 2x2 window of the ORIGINAL input,
+    with adjacent 3x3 taps collapsing onto the same input pixel:
+
+        di=0: rows (i-1: W[0],  i: W[1]+W[2])
+        di=1: rows (i:  W[0]+W[1], i+1: W[2])      (same for columns)
+
+    So the op equals four 2x2 convs at the input resolution whose outputs
+    interleave into the 2x-upsampled grid: 16 taps per input pixel instead
+    of 36, and the 4x-upsampled input tensor is never materialized.  Param
+    layout is identical to the nn.Conv it replaces (kernel [3,3,C,O] +
+    bias), so checkpoints and the HF weight converters are unaffected.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        O = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, O), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        # collapse rows: [2, 3, C, O] per row phase
+        rows = {0: jnp.stack([k[0], k[1] + k[2]], axis=0),
+                1: jnp.stack([k[0] + k[1], k[2]], axis=0)}
+        outs = []
+        for di in (0, 1):
+            for dj in (0, 1):
+                kr = rows[di]
+                kp = (jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1)
+                      if dj == 0 else
+                      jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1))
+                pad = ((1 - di, di), (1 - dj, dj))
+                outs.append(jax.lax.conv_general_dilated(
+                    x, kp, window_strides=(1, 1), padding=pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype))
+        y = jnp.stack(outs, axis=3).reshape(B, H, W, 2, 2, O)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, O)
+        return y + bias.astype(self.dtype)
+
+
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        B, H, W, C = x.shape
-        # 2x nearest via broadcast+reshape (equivalent to
-        # jax.image.resize(method='nearest'), but pure data movement —
-        # resize lowers to gathers on TPU)
-        x = jnp.broadcast_to(x[:, :, None, :, None, :],
-                             (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                       dtype=self.dtype, name="conv")(x)
+        # nearest-2x upsample + 3x3 conv, fused into phase convs (see
+        # _UpsampleConv); named "conv" to keep the param tree of the
+        # broadcast+nn.Conv formulation it replaces
+        return _UpsampleConv(self.out_channels, dtype=self.dtype,
+                             name="conv")(x)
 
 
 class AttentionBlock2D(nn.Module):

@@ -10,6 +10,7 @@ Architecture parity with HF `UNet2DConditionModel` as frozen by the reference
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -23,11 +24,14 @@ from diffcodec_tpu.models.layers import (Downsample2D, GroupNorm32,
                                          timestep_embedding)
 
 
-def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
-    """FreeU low-frequency scaling of skip features (NHWC).
+def _fourier_filter_fft(x: jnp.ndarray, threshold: int,
+                        scale: float) -> jnp.ndarray:
+    """Reference FFT implementation of FreeU low-frequency scaling (NHWC).
 
     FFT over the spatial dims; the centred [2*threshold, 2*threshold]
-    low-frequency block is scaled by `scale`.
+    low-frequency block is scaled by `scale`.  Kept as the oracle for
+    `fourier_filter`, which computes the same linear operator with two
+    tiny matmuls instead of FFTs in the denoise hot loop.
     """
     orig_dtype = x.dtype
     B, H, W, C = x.shape
@@ -42,6 +46,53 @@ def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
     xf = xf * mask
     xf = jnp.fft.ifftshift(xf, axes=(1, 2))
     out = jnp.fft.ifftn(xf, axes=(1, 2)).real
+    return out.astype(orig_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _box_projector(n: int, threshold: int):
+    """1-D operator P = F^-1 diag(sel) F selecting the centred frequency
+    box of FreeU (rows [n//2-threshold, n//2+threshold) in fftshifted
+    coordinates).  Returns (Re(P), Im(P)) as numpy float32 [n, n].
+
+    P is circulant with entries p(j-l) = (1/n) sum_{k in S} e^{2 pi i
+    k (j-l)/n}; the selected set S is NOT symmetric under k -> -k (the
+    shifted box is off-centre by half a bin), so P has a small imaginary
+    part that the reference's `.real` projection folds in.
+    """
+    import numpy as np
+    c = n // 2
+    sel = np.zeros(n)
+    sel[max(c - threshold, 0):min(c + threshold, n)] = 1.0
+    sel = np.fft.ifftshift(sel)
+    P = np.fft.ifft(sel[:, None] * np.fft.fft(np.eye(n), axis=0), axis=0)
+    return (np.ascontiguousarray(P.real, dtype=np.float32),
+            np.ascontiguousarray(P.imag, dtype=np.float32))
+
+
+def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
+    """FreeU low-frequency scaling of skip features (NHWC).
+
+    Mathematically identical to `_fourier_filter_fft` (tested to ~1e-4):
+    masking a fixed frequency box is a linear map, and the box mask is
+    separable, so  Re(IFFT2(mask * FFT2(x))) = x + (scale-1) *
+    (Re(Pr) x Re(Pc)^T - Im(Pr) x Im(Pc)^T)  with the tiny circulant
+    projectors P = F^-1 diag(box) F precomputed on the host.  Replaces
+    six fp32 complex FFT pairs per denoise step with four [H,H]/[W,W]
+    matmuls — FFTs are a poor fit for the MXU and were a measurable
+    slice of the step time.
+    """
+    orig_dtype = x.dtype
+    B, H, W, C = x.shape
+    pr_re, pr_im = _box_projector(H, threshold)
+    pc_re, pc_im = _box_projector(W, threshold)
+    xf = x.astype(jnp.float32)
+    # y[i,v] = sum_{j,w} Pr[i,j] x[j,w] Pc[v,w], real part for real x
+    low = (jnp.einsum("ij,bjwc,vw->bivc", jnp.asarray(pr_re), xf,
+                      jnp.asarray(pc_re))
+           - jnp.einsum("ij,bjwc,vw->bivc", jnp.asarray(pr_im), xf,
+                        jnp.asarray(pc_im)))
+    out = xf + (scale - 1.0) * low
     return out.astype(orig_dtype)
 
 

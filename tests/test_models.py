@@ -89,6 +89,20 @@ def test_fourier_filter_identity_at_scale_one():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+def test_fourier_filter_matches_fft_reference():
+    """The projector-matmul fourier_filter equals the FFT oracle,
+    including odd sizes and non-square maps."""
+    from diffcodec_tpu.models.unet2d_condition import _fourier_filter_fft
+    for shape, thr, scale in (((2, 16, 16, 8), 1, 0.9),
+                              ((1, 8, 12, 4), 1, 1.2),
+                              ((1, 9, 7, 4), 2, 0.5),
+                              ((2, 32, 32, 3), 4, 0.2)):
+        x = jax.random.normal(jax.random.PRNGKey(7), shape)
+        ref = np.asarray(_fourier_filter_fft(x, thr, scale))
+        got = np.asarray(fourier_filter(x, thr, scale))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_bidir_feature_extractor_pyramid(rng):
     ext = BiDirFeatureExtractor(inject_channels=(32, 64))
     H = 64
@@ -169,3 +183,22 @@ def test_res_controlnet_outputs(rng):
     down, mid = net.apply(params, sample, t, ctx, cond, flow, warp)
     assert len(down) == 6
     assert mid.shape == (B, h // 4, h // 4, 64)
+
+
+def test_upsample_phase_conv_matches_naive():
+    """_UpsampleConv (four 2x2 phase convs) equals nearest-up2 + conv3x3."""
+    from diffcodec_tpu.models.layers import Upsample2D
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (2, 7, 5, 6))
+    up = Upsample2D(out_channels=8)
+    params = up.init(jax.random.PRNGKey(12), x)
+    got = np.asarray(up.apply(params, x))
+    kernel = np.asarray(params["params"]["conv"]["kernel"])
+    bias = np.asarray(params["params"]["conv"]["bias"])
+    B, H, W, C = x.shape
+    x_up = jnp.broadcast_to(x[:, :, None, :, None, :],
+                            (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
+    ref = jax.lax.conv_general_dilated(
+        x_up, jnp.asarray(kernel), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4, rtol=1e-4)
