@@ -60,10 +60,17 @@ def main():
     controlnet = DualFlowControlNet(cn_cfg, dtype=dtype)
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     schedule = NoiseSchedule.create(SchedulerConfig())
+    # opt-in approximate modes (quality-affecting; default exact):
+    # BENCH_CN_INTERVAL=k caches ControlNet residuals for k-1 steps,
+    # BENCH_ENC_INTERVAL=k caches the UNet down path for k-1 steps.
+    cn_interval = int(os.environ.get("BENCH_CN_INTERVAL", "1"))
+    enc_interval = int(os.environ.get("BENCH_ENC_INTERVAL", "1"))
     pipe = DualFlowPipeline(
         unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
         sampler=SamplerConfig(num_inference_steps=steps, guidance_scale=3.5,
                               controlnet_conditioning_scale=1.35,
+                              controlnet_interval=cn_interval,
+                              unet_encoder_interval=enc_interval,
                               freeu=True))
 
     h = H // 8
@@ -108,9 +115,14 @@ def main():
         times.append(time.time() - t1)
     best = min(times)
     fps = B / best
+    name = ("decoded_frames_per_sec_512px_30step_unipc_cfg"
+            if not small else "decoded_frames_per_sec_small")
+    if cn_interval > 1:
+        name += f"_cnint{cn_interval}"
+    if enc_interval > 1:
+        name += f"_encint{enc_interval}"
     print(json.dumps({
-        "metric": "decoded_frames_per_sec_512px_30step_unipc_cfg"
-        if not small else "decoded_frames_per_sec_small",
+        "metric": name,
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

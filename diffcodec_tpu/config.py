@@ -102,6 +102,11 @@ class SamplerConfig:
     # PAPERS.md): recompute ControlNet residuals every k-th step, reuse in
     # between.  1 = exact reference behavior (recompute every step).
     controlnet_interval: int = 1
+    # UNet encoder caching interval (Faster-Diffusion encoder propagation,
+    # PAPERS.md): recompute the UNet down path every k-th step, reuse its
+    # hidden + skip stack in between (mid/up always run with fresh
+    # timestep embedding and ControlNet residuals).  1 = exact.
+    unet_encoder_interval: int = 1
     # FreeU (validation.py:106)
     freeu: bool = True
     freeu_s1: float = 0.9

@@ -189,64 +189,100 @@ class CrossAttnUpBlock(nn.Module):
 
 
 class UNet2DConditionModel(nn.Module):
-    """Text/time-conditioned denoising UNet with ControlNet injection."""
+    """Text/time-conditioned denoising UNet with ControlNet injection.
+
+    The forward is factored into `encode` (conv_in + down blocks — the
+    skip/feature producer) and `decode` (residual injection + mid + up +
+    out head) so the sampler can cache the encoder across denoise steps
+    (Faster-Diffusion-style encoder propagation,
+    `SamplerConfig.unet_encoder_interval`).  `__call__(x, t, ctx, ...)`
+    composes them and is exactly the frozen HF UNet forward.
+    """
     cfg: UNetConfig = UNetConfig()
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.time_embedding = TimestepEmbedding(c.block_out_channels[0] * 4,
+                                                dtype=self.dtype)
+        self.conv_in = nn.Conv(c.block_out_channels[0], (3, 3),
+                               padding="SAME", dtype=self.dtype)
+        self.down_blocks = [
+            CrossAttnDownBlock(
+                out_channels=ch, layers=c.layers_per_block,
+                has_attn=c.cross_attention_blocks[i],
+                heads=c.attention_heads,
+                transformer_depth=c.transformer_depth,
+                add_downsample=i != len(c.block_out_channels) - 1,
+                dtype=self.dtype)
+            for i, ch in enumerate(c.block_out_channels)]
+        self.mid_block = MidBlock(c.block_out_channels[-1],
+                                  heads=c.attention_heads,
+                                  transformer_depth=c.transformer_depth,
+                                  dtype=self.dtype)
+        rev_channels = list(reversed(c.block_out_channels))
+        rev_attn = list(reversed(c.cross_attention_blocks))
+        self.up_blocks = [
+            CrossAttnUpBlock(
+                out_channels=ch, layers=c.layers_per_block + 1,
+                has_attn=rev_attn[i], heads=c.attention_heads,
+                transformer_depth=c.transformer_depth,
+                add_upsample=i != len(rev_channels) - 1, resolution_idx=i,
+                dtype=self.dtype)
+            for i, ch in enumerate(rev_channels)]
+        self.conv_norm_out = GroupNorm32(32, dtype=self.dtype)
+        self.conv_out = nn.Conv(c.out_channels, (3, 3), padding="SAME",
+                                dtype=self.dtype)
+
+    def _temb(self, timesteps, batch):
+        if timesteps.ndim == 0:
+            timesteps = timesteps[None]
+        timesteps = jnp.broadcast_to(timesteps, (batch,))
+        t_emb = timestep_embedding(timesteps, self.cfg.block_out_channels[0])
+        return self.time_embedding(t_emb.astype(self.dtype))
+
+    def encode(self, sample, timesteps, encoder_hidden_states):
+        """conv_in + down blocks: (hidden, skip-stack tuple)."""
+        temb = self._temb(timesteps, sample.shape[0])
+        context = encoder_hidden_states.astype(self.dtype)
+        x = self.conv_in(sample.astype(self.dtype))
+        res_stack = [x]
+        for block in self.down_blocks:
+            x, res_out = block(x, temb, context)
+            res_stack.extend(res_out)
+        return x, tuple(res_stack)
+
+    def decode(self, x, res_stack, timesteps, encoder_hidden_states,
+               down_block_additional_residuals: Optional[Sequence] = None,
+               mid_block_additional_residual: Optional[jnp.ndarray] = None,
+               freeu: Optional[Tuple[float, float, float, float]] = None):
+        """ControlNet residual injection + mid + up blocks + out head.
+
+        Recomputes the (cheap) time embedding so a cached `encode` can be
+        combined with fresh per-step timesteps and ControlNet residuals.
+        """
+        temb = self._temb(timesteps, x.shape[0])
+        context = encoder_hidden_states.astype(self.dtype)
+        res_stack = list(res_stack)
+        if down_block_additional_residuals is not None:
+            res_stack = [r + a for r, a in
+                         zip(res_stack, down_block_additional_residuals)]
+        x = self.mid_block(x, temb, context)
+        if mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual
+        for block in self.up_blocks:
+            x = block(x, res_stack, temb, context, freeu=freeu)
+        assert not res_stack
+
+        x = self.conv_norm_out(x)
+        x = nn.silu(x)
+        return self.conv_out(x)
+
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  down_block_additional_residuals: Optional[Sequence] = None,
                  mid_block_additional_residual: Optional[jnp.ndarray] = None,
                  freeu: Optional[Tuple[float, float, float, float]] = None):
-        c = self.cfg
-        if timesteps.ndim == 0:
-            timesteps = timesteps[None]
-        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-        t_emb = timestep_embedding(timesteps, c.block_out_channels[0])
-        temb = TimestepEmbedding(c.block_out_channels[0] * 4,
-                                 dtype=self.dtype,
-                                 name="time_embedding")(t_emb.astype(self.dtype))
-        context = encoder_hidden_states.astype(self.dtype)
-        sample = sample.astype(self.dtype)
-
-        x = nn.Conv(c.block_out_channels[0], (3, 3), padding="SAME",
-                    dtype=self.dtype, name="conv_in")(sample)
-        res_stack = [x]
-        for i, ch in enumerate(c.block_out_channels):
-            is_last = i == len(c.block_out_channels) - 1
-            x, res_out = CrossAttnDownBlock(
-                out_channels=ch, layers=c.layers_per_block,
-                has_attn=c.cross_attention_blocks[i], heads=c.attention_heads,
-                transformer_depth=c.transformer_depth,
-                add_downsample=not is_last, dtype=self.dtype,
-                name=f"down_blocks_{i}")(x, temb, context)
-            res_stack.extend(res_out)
-
-        if down_block_additional_residuals is not None:
-            res_stack = [r + a for r, a in
-                         zip(res_stack, down_block_additional_residuals)]
-
-        x = MidBlock(c.block_out_channels[-1], heads=c.attention_heads,
-                     transformer_depth=c.transformer_depth, dtype=self.dtype,
-                     name="mid_block")(x, temb, context)
-        if mid_block_additional_residual is not None:
-            x = x + mid_block_additional_residual
-
-        rev_channels = list(reversed(c.block_out_channels))
-        rev_attn = list(reversed(c.cross_attention_blocks))
-        for i, ch in enumerate(rev_channels):
-            is_last = i == len(rev_channels) - 1
-            x = CrossAttnUpBlock(
-                out_channels=ch, layers=c.layers_per_block + 1,
-                has_attn=rev_attn[i], heads=c.attention_heads,
-                transformer_depth=c.transformer_depth,
-                add_upsample=not is_last, resolution_idx=i,
-                dtype=self.dtype,
-                name=f"up_blocks_{i}")(x, res_stack, temb, context,
-                                       freeu=freeu)
-        assert not res_stack
-
-        x = GroupNorm32(32, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
-        return nn.Conv(c.out_channels, (3, 3), padding="SAME",
-                       dtype=self.dtype, name="conv_out")(x)
+        x, res_stack = self.encode(sample, timesteps, encoder_hidden_states)
+        return self.decode(x, res_stack, timesteps, encoder_hidden_states,
+                           down_block_additional_residuals,
+                           mid_block_additional_residual, freeu)

@@ -104,6 +104,7 @@ class DualFlowPipeline:
                  if cfg.freeu else None)
 
         interval = max(int(cfg.controlnet_interval), 1)
+        enc_interval = max(int(cfg.unet_encoder_interval), 1)
 
         def run_controlnet(x, lat_in, t, cond_scale):
             if cfg.guess_mode and do_cfg:
@@ -120,8 +121,12 @@ class DualFlowPipeline:
                     cond_scale, method=self.controlnet.backbone)
             return tuple(down), mid
 
+        def run_unet_encode(lat_in, t):
+            return self.unet.apply(params["unet"], lat_in, t, ctx_unet,
+                                   method=self.unet.encode)
+
         def body(i, carry):
-            state, cached = carry
+            state, cached, cached_enc = carry
             t = tables.timesteps[i]
             x = state.sample.astype(latents.dtype)
             lat_in = jnp.concatenate([x, x], axis=0) if do_cfg else x
@@ -142,27 +147,51 @@ class DualFlowPipeline:
                     lambda: cached)
                 down, mid = cached_out
 
-            eps = self.unet.apply(
-                params["unet"], lat_in, t, ctx_unet,
-                down_block_additional_residuals=down,
-                mid_block_additional_residual=mid, freeu=freeu)
+            if enc_interval == 1:
+                eps = self.unet.apply(
+                    params["unet"], lat_in, t, ctx_unet,
+                    down_block_additional_residuals=down,
+                    mid_block_additional_residual=mid, freeu=freeu)
+                enc_out = cached_enc
+            else:
+                # Faster-Diffusion encoder propagation (PAPERS.md): the
+                # UNet down path varies slowly across adjacent steps, so
+                # recompute it every `enc_interval` steps and reuse the
+                # (hidden, skip-stack) in between; mid/up always run with
+                # this step's timestep embedding + ControlNet residuals.
+                enc_out = jax.lax.cond(
+                    (i % enc_interval) == 0,
+                    lambda: run_unet_encode(lat_in, t),
+                    lambda: cached_enc)
+                hidden, res_stack = enc_out
+                eps = self.unet.apply(
+                    params["unet"], hidden, res_stack, t, ctx_unet,
+                    down_block_additional_residuals=down,
+                    mid_block_additional_residual=mid, freeu=freeu,
+                    method=self.unet.decode)
             if do_cfg:
                 eps_u, eps_t = jnp.split(eps, 2, axis=0)
                 eps = cfg_combine(eps_u, eps_t, cfg.guidance_scale)
-            return (unipc.step(tables, state, eps, i), cached_out)
+            return (unipc.step(tables, state, eps, i), cached_out, enc_out)
 
         state0 = unipc.init_state(latents)
-        # initialize the cache with step-0 shapes (zeros; step 0 always
-        # recomputes when interval > 1)
+        # initialize the caches with step-0 shapes (zeros; step 0 always
+        # recomputes when an interval > 1)
+        x0 = latents.astype(latents.dtype)
+        lat0 = jnp.concatenate([x0, x0], axis=0) if do_cfg else x0
         if interval > 1:
-            x0 = latents.astype(latents.dtype)
-            lat0 = jnp.concatenate([x0, x0], axis=0) if do_cfg else x0
             cached0 = jax.tree.map(
                 jnp.zeros_like,
                 run_controlnet(x0, lat0, tables.timesteps[0], 0.0))
         else:
             cached0 = ()
-        (state, _) = jax.lax.fori_loop(0, n_steps, body, (state0, cached0))
+        if enc_interval > 1:
+            cached_enc0 = jax.tree.map(
+                jnp.zeros_like, run_unet_encode(lat0, tables.timesteps[0]))
+        else:
+            cached_enc0 = ()
+        (state, _, _) = jax.lax.fori_loop(0, n_steps, body,
+                                          (state0, cached0, cached_enc0))
         return state.sample
 
     def sample(self, params, rng, text_embeds, uncond_embeds,

@@ -174,3 +174,53 @@ def test_sample_with_custom_init_latents(tiny_pipeline_setup):
     b = np.asarray(pipe.sample(params, jax.random.PRNGKey(99), text, text,
                                cond, flow, latents=lat))
     np.testing.assert_array_equal(a, b)  # rng unused when latents given
+
+
+def test_unet_encoder_interval_caching(tiny_pipeline_setup):
+    """Encoder propagation: interval=1 bit-identical to the plain path;
+    interval=2 runs finite and differs (the cached down features skip a
+    step's latents); composes with controlnet_interval."""
+    unet, controlnet, vae, schedule, params = tiny_pipeline_setup
+    B, H = 1, 32
+    latents = jax.random.normal(jax.random.PRNGKey(9), (B, 4, 4, 4))
+    text = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 32)) * 0.1
+    uncond = jnp.zeros((B, 5, 32))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 6))
+    flow = jnp.zeros((B, H, H, 4))
+
+    def run(enc_interval, cn_interval=1):
+        pipe = DualFlowPipeline(
+            unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+            sampler=SamplerConfig(num_inference_steps=4, guidance_scale=2.0,
+                                  unet_encoder_interval=enc_interval,
+                                  controlnet_interval=cn_interval,
+                                  freeu=False))
+        return np.asarray(jax.jit(pipe.denoise)(
+            params, latents, text, uncond, cond, flow))
+
+    exact = run(1)
+    cached = run(2)
+    both = run(2, cn_interval=2)
+    assert np.isfinite(cached).all() and np.isfinite(both).all()
+    assert cached.shape == exact.shape
+    # the approximation must actually engage (down path sees stale latents)
+    assert np.abs(cached - exact).max() > 0
+    # ...but stay in the same ballpark (relative to the latents' scale;
+    # random tiny-net weights make the encoder unusually influential)
+    rel = np.abs(cached - exact).max() / (np.abs(exact).max() + 1e-6)
+    assert rel < 0.5, rel
+
+
+def test_unet_encode_decode_composition(tiny_pipeline_setup):
+    """unet.encode + unet.decode == unet.__call__ exactly."""
+    unet, controlnet, vae, schedule, params = tiny_pipeline_setup
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, 4, 4, 4))
+    t = jnp.asarray([5, 7])
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (B, 5, 32)) * 0.1
+    full = unet.apply(params["unet"], x, t, ctx)
+    hidden, stack = unet.apply(params["unet"], x, t, ctx,
+                               method=unet.encode)
+    split = unet.apply(params["unet"], hidden, stack, t, ctx,
+                       method=unet.decode)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
