@@ -80,7 +80,9 @@ def _build_pipeline(args):
         schedule=NoiseSchedule.create(SchedulerConfig()),
         sampler=SamplerConfig(
             num_inference_steps=args.steps, guidance_scale=args.guidance,
-            controlnet_conditioning_scale=args.cond_scale))
+            controlnet_conditioning_scale=args.cond_scale,
+            controlnet_interval=args.cn_interval,
+            unet_encoder_interval=args.enc_interval))
     return pipe, {"unet": unet_cfg, "controlnet": cn_cfg, "vae": vae_cfg}
 
 
@@ -181,6 +183,12 @@ def main(argv=None):
     pd.add_argument("--steps", type=int, default=30)
     pd.add_argument("--guidance", type=float, default=3.5)
     pd.add_argument("--cond_scale", type=float, default=1.35)
+    pd.add_argument("--cn_interval", type=int, default=1,
+                    help="cache ControlNet residuals for k-1 steps "
+                         "(opt-in approximation; 1 = exact)")
+    pd.add_argument("--enc_interval", type=int, default=1,
+                    help="cache the UNet down path for k-1 steps "
+                         "(opt-in approximation; 1 = exact)")
     pd.add_argument("--seed", type=int, default=0)
     pd.add_argument("--tiny", action="store_true",
                     help="tiny random models (smoke testing)")
