@@ -1,0 +1,70 @@
+"""Training-step throughput at the reference operating point.
+
+Times the full DualFlowControlNet training step (VAE encode, frozen-UNet
+forward, ControlNet forward/backward, Adam update) at 512px on one chip.
+Measured 2026-08-17 on v5e: 508 ms/step at batch 4 = 7.9 samples/s/chip.
+
+Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch)
+"""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from diffcodec_tpu.utils.jax_cache import enable_persistent_cache
+enable_persistent_cache()
+import jax, jax.numpy as jnp
+
+from diffcodec_tpu.config import (ControlNetConfig, MeshConfig,
+                                  SchedulerConfig, TrainConfig, UNetConfig,
+                                  VAEConfig)
+from diffcodec_tpu.models.controlnet import DualFlowControlNet
+from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
+from diffcodec_tpu.models.vae import AutoencoderKL
+from diffcodec_tpu.parallel.mesh import make_mesh, shard_batch
+from diffcodec_tpu.sampling.schedulers import NoiseSchedule
+from diffcodec_tpu.train.trainer import (ControlNetTrainer, TrainState,
+                                         make_optimizer)
+
+B = int(os.environ.get("TB_BATCH", "4"))
+H = 512
+unet = UNet2DConditionModel(UNetConfig(), dtype=jnp.bfloat16)
+cn = DualFlowControlNet(ControlNetConfig(), dtype=jnp.bfloat16)
+vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+schedule = NoiseSchedule.create(SchedulerConfig())
+cfg = TrainConfig(learning_rate=1e-5, lr_warmup_steps=0, max_train_steps=100)
+mesh = make_mesh(MeshConfig(), devices=jax.devices()[:1])
+
+rng = jax.random.PRNGKey(0)
+k1, k2, k3 = jax.random.split(rng, 3)
+h = H // 8
+z = jnp.zeros
+L, D = 77, 768
+cn_params = cn.init(k1, z((1, h, h, 4)), z((1,), jnp.int32), z((1, L, D)),
+                    z((1, H, H, 6)), z((1, H, H, 4)))
+frozen = {"unet": unet.init(k2, z((1, h, h, 4)), z((1,), jnp.int32),
+                            z((1, L, D))),
+          "vae": vae.init(k3, z((1, 64, 64, 3)))}
+frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                      if x.dtype == jnp.float32 else x, frozen)
+batch = {
+    "image": jax.random.uniform(k1, (B, H, H, 3)) * 2 - 1,
+    "cond": jax.random.uniform(k2, (B, H, H, 6)),
+    "flow": jax.random.normal(k3, (B, H, H, 4)) * 4.0,
+    "text_embeds": jax.random.normal(k1, (B, L, D)) * 0.02,
+}
+trainer = ControlNetTrainer(unet=unet, controlnet=cn, vae=vae,
+                            schedule=schedule, config=cfg)
+state = trainer.shard_state(mesh, TrainState.create(cn_params,
+                                                    make_optimizer(cfg)))
+step = trainer.jit_train_step(mesh)
+sb = shard_batch(mesh, batch)
+t0 = time.time()
+state, m = step(state, frozen, sb, jax.random.PRNGKey(1))
+l = float(m["loss_mse"]); print(f"compile+first {time.time()-t0:.1f}s loss {l:.4f}")
+times = []
+for i in range(5):
+    t1 = time.time()
+    state, m = step(state, frozen, sb, jax.random.PRNGKey(2 + i))
+    l = float(m["loss_mse"])
+    times.append(time.time() - t1)
+best = min(times)
+print(f"train step: {best*1e3:.0f} ms/step batch={B} -> "
+      f"{B/best:.2f} samples/s/chip  times={[round(t,3) for t in times]}")
