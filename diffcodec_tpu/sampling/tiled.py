@@ -21,6 +21,22 @@ import jax.numpy as jnp
 from diffcodec_tpu.ops.tiling import crop_into_tiles, merge_tiles
 
 
+_sampler_cache: dict = {}
+
+
+def _jitted_sampler(pipe):
+    """One jitted sampler per pipeline instance, so repeated sample_tiled
+    calls and all same-shape tile chunks share a single compiled program.
+    Keyed by identity (NoiseSchedule holds device arrays, so the frozen
+    dataclass is not hashable); the cached strong reference keeps the id
+    stable."""
+    entry = _sampler_cache.get(id(pipe))
+    if entry is None or entry[0] is not pipe:
+        entry = (pipe, jax.jit(pipe.sample))
+        _sampler_cache[id(pipe)] = entry
+    return entry[1]
+
+
 def tile_grid(height: int, width: int, tile: Tuple[int, int],
               overlap: int) -> List[Tuple[int, int, int, int]]:
     """Static tile coordinates for a resolution (raster order)."""
@@ -59,9 +75,10 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     """
     B, H, W = cond.shape[:3]
     th, tw = tile
+    sample_fn = _jitted_sampler(pipe)
     if H <= th and W <= tw and (H, W) == (th, tw):
-        out = pipe.sample(params, rng, text_embeds, uncond_embeds,
-                          jnp.asarray(cond), jnp.asarray(flow))
+        out = sample_fn(params, rng, text_embeds, uncond_embeds,
+                        jnp.asarray(cond), jnp.asarray(flow))
         return np.asarray(out)
 
     coords = tile_grid(H, W, tile, overlap)
@@ -82,9 +99,9 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     outs = []
     for s in range(0, total, step):
         sl = slice(s, s + step)
-        out = pipe.sample(params, jax.random.fold_in(rng, s),
-                          jnp.asarray(text_t[sl]), jnp.asarray(uncond_t[sl]),
-                          jnp.asarray(cond_t[sl]), jnp.asarray(flow_t[sl]))
+        out = sample_fn(params, jax.random.fold_in(rng, s),
+                        jnp.asarray(text_t[sl]), jnp.asarray(uncond_t[sl]),
+                        jnp.asarray(cond_t[sl]), jnp.asarray(flow_t[sl]))
         outs.append(np.asarray(out, np.float32))
     tiles_out = np.concatenate(outs)
 
