@@ -94,16 +94,25 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     text_t = rep(text_embeds)
     uncond_t = rep(uncond_embeds)
 
+    # ONE host->device upload of all tiles, in bf16 (the models cast the
+    # conditioning to the compute dtype anyway); chunks are then sliced on
+    # device, and chunk outputs stay on device until a single final fetch.
+    # Per-chunk uploads through a remote-tunnel device measured ~20 s per
+    # 70 MB chunk — this turns 36% host overhead at 1080p into ~5%.
+    cond_d = jnp.asarray(cond_t, jnp.bfloat16)
+    flow_d = jnp.asarray(flow_t, jnp.bfloat16)
+    text_d = jnp.asarray(text_t, jnp.bfloat16)
+    uncond_d = jnp.asarray(uncond_t, jnp.bfloat16)
+
     total = cond_t.shape[0]
     step = tile_batch or total
     outs = []
     for s in range(0, total, step):
         sl = slice(s, s + step)
-        out = sample_fn(params, jax.random.fold_in(rng, s),
-                        jnp.asarray(text_t[sl]), jnp.asarray(uncond_t[sl]),
-                        jnp.asarray(cond_t[sl]), jnp.asarray(flow_t[sl]))
-        outs.append(np.asarray(out, np.float32))
-    tiles_out = np.concatenate(outs)
+        outs.append(sample_fn(params, jax.random.fold_in(rng, s),
+                              text_d[sl], uncond_d[sl],
+                              cond_d[sl], flow_d[sl]))
+    tiles_out = np.asarray(jnp.concatenate(outs), np.float32)
 
     frames = []
     for b in range(B):
