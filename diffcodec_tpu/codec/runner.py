@@ -27,6 +27,7 @@ import zlib
 from typing import Callable, Dict, Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 from diffcodec_tpu.codec.bits import (decode_sparse_flow, encode_sparse_flow,
                                       write_compression_report)
@@ -237,15 +238,21 @@ def decode_video(enc: EncodedVideo,
     n = batch["cond"].shape[0]
     decoded_u8 = np.zeros((n, H, W, 3), np.uint8)
     step = max_batch if max_batch and max_batch > 0 else n
+    # one host->device upload for the whole sequence, in bf16 (the models
+    # cast conditioning to the compute dtype anyway) — per-chunk f32
+    # uploads dominate wall clock on remote-tunnel devices
+    cond_all = jnp.asarray(batch["cond"], jnp.bfloat16)
+    flow_all = jnp.asarray(batch["flow"], jnp.bfloat16)
     for s0 in range(0, n, step):
-        sl = slice(s0, min(s0 + step, n))
-        cond_c, flow_c = batch["cond"][sl], batch["flow"][sl]
-        nb = cond_c.shape[0]
+        end = min(s0 + step, n)
+        sl = slice(s0, end)
+        cond_c, flow_c = cond_all[sl], flow_all[sl]
+        nb = end - s0
         if nb < step and s0 > 0:
             # pad the tail to the steady batch shape (avoids a recompile)
             pad = step - nb
-            cond_c = np.concatenate([cond_c, cond_c[-1:].repeat(pad, 0)])
-            flow_c = np.concatenate([flow_c, flow_c[-1:].repeat(pad, 0)])
+            cond_c = jnp.concatenate([cond_c] + [cond_c[-1:]] * pad)
+            flow_c = jnp.concatenate([flow_c] + [flow_c[-1:]] * pad)
         dec = np.asarray(sample_fn(cond_c, flow_c), np.float32)[:nb]
         # non-finite pixels (a diverged sampler step) clamp to black rather
         # than poisoning the uint8 cast
