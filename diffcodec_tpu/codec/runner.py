@@ -181,18 +181,24 @@ def make_cmp_densifier(cmp_model, variables, batch_size: int = 8):
 def decode_video(enc: EncodedVideo,
                  sample_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
                  densify_fn: Optional[Callable] = None,
-                 max_batch: int = 7) -> np.ndarray:
+                 max_batch: int = 7,
+                 transfer_dtype=None) -> np.ndarray:
     """Decode to [N,H,W,3] uint8.
 
     sample_fn(cond [B,H,W,6] in [0,1], flow [B,H,W,4] px) -> [B,H,W,3] in
     [-1,1] — the diffusion decoder (DualFlowPipeline.sample bound to params
-    and text embeddings; batching over inter frames happens here).
+    and text embeddings; batching over inter frames happens here).  The
+    arguments arrive as read-only jax device arrays (float32 by default;
+    the whole sequence is uploaded once and chunks are sliced on device).
     densify_fn(sparse [H,W,2], mask [H,W,2], anchor [H,W,3]) -> [H,W,2]
     dense flow — the CMP network for 'sparse' mode (identity default: use
     the decoded sparse field as-is).
     max_batch: inter frames per sampler call (one GOP-8 of 512px frames
     saturates a v5e chip's HBM; long sequences decode in chunks — the last
     chunk is padded to max_batch so only two program shapes ever compile).
+    transfer_dtype: upload dtype for the conditioning (pass the pipeline's
+    compute dtype, e.g. jnp.bfloat16, to halve host->device bytes with no
+    extra precision loss there; None keeps float32).
     """
     from PIL import Image
     meta = enc.meta
@@ -238,11 +244,11 @@ def decode_video(enc: EncodedVideo,
     n = batch["cond"].shape[0]
     decoded_u8 = np.zeros((n, H, W, 3), np.uint8)
     step = max_batch if max_batch and max_batch > 0 else n
-    # one host->device upload for the whole sequence, in bf16 (the models
-    # cast conditioning to the compute dtype anyway) — per-chunk f32
-    # uploads dominate wall clock on remote-tunnel devices
-    cond_all = jnp.asarray(batch["cond"], jnp.bfloat16)
-    flow_all = jnp.asarray(batch["flow"], jnp.bfloat16)
+    # one host->device upload for the whole sequence — per-chunk uploads
+    # dominate wall clock on remote-tunnel devices
+    dtype = transfer_dtype or jnp.float32
+    cond_all = jnp.asarray(batch["cond"], dtype)
+    flow_all = jnp.asarray(batch["flow"], dtype)
     for s0 in range(0, n, step):
         end = min(s0 + step, n)
         sl = slice(s0, end)

@@ -176,18 +176,24 @@ class DualFlowPipeline:
 
         state0 = unipc.init_state(latents)
         # initialize the caches with step-0 shapes (zeros; step 0 always
-        # recomputes when an interval > 1)
+        # recomputes when an interval > 1).  eval_shape keeps this free of
+        # actual compute even when `denoise` runs outside jit.
         x0 = latents.astype(latents.dtype)
         lat0 = jnp.concatenate([x0, x0], axis=0) if do_cfg else x0
+
+        def zeros_like_shape(fn, *args):
+            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                jax.eval_shape(fn, *args))
+
         if interval > 1:
-            cached0 = jax.tree.map(
-                jnp.zeros_like,
-                run_controlnet(x0, lat0, tables.timesteps[0], 0.0))
+            cached0 = zeros_like_shape(
+                lambda x, l: run_controlnet(x, l, tables.timesteps[0], 0.0),
+                x0, lat0)
         else:
             cached0 = ()
         if enc_interval > 1:
-            cached_enc0 = jax.tree.map(
-                jnp.zeros_like, run_unet_encode(lat0, tables.timesteps[0]))
+            cached_enc0 = zeros_like_shape(
+                lambda l: run_unet_encode(l, tables.timesteps[0]), lat0)
         else:
             cached_enc0 = ()
         (state, _, _) = jax.lax.fori_loop(0, n_steps, body,

@@ -21,19 +21,24 @@ import jax.numpy as jnp
 from diffcodec_tpu.ops.tiling import crop_into_tiles, merge_tiles
 
 
-_sampler_cache: dict = {}
+# Keyed by identity (NoiseSchedule holds device arrays, so the frozen
+# dataclass is not hashable); bounded so long sweeps over many pipeline
+# configs do not pin compiled programs forever.
+_sampler_cache: "dict[int, tuple]" = {}
+_SAMPLER_CACHE_MAX = 4
 
 
 def _jitted_sampler(pipe):
     """One jitted sampler per pipeline instance, so repeated sample_tiled
     calls and all same-shape tile chunks share a single compiled program.
-    Keyed by identity (NoiseSchedule holds device arrays, so the frozen
-    dataclass is not hashable); the cached strong reference keeps the id
-    stable."""
-    entry = _sampler_cache.get(id(pipe))
-    if entry is None or entry[0] is not pipe:
-        entry = (pipe, jax.jit(pipe.sample))
-        _sampler_cache[id(pipe)] = entry
+    The cached strong reference keeps the id stable while the entry
+    lives."""
+    entry = _sampler_cache.pop(id(pipe), None)
+    if entry is None:
+        entry = (pipe, pipe.jit_sample())
+    _sampler_cache[id(pipe)] = entry          # move to most-recent
+    while len(_sampler_cache) > _SAMPLER_CACHE_MAX:
+        _sampler_cache.pop(next(iter(_sampler_cache)))
     return entry[1]
 
 
@@ -76,9 +81,14 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     B, H, W = cond.shape[:3]
     th, tw = tile
     sample_fn = _jitted_sampler(pipe)
+    # transfer in the pipeline's compute dtype: halves tunnel bytes for
+    # bf16 pipelines with no extra precision loss (the models cast there
+    # anyway); f32 pipelines keep full-precision conditioning
+    dtype = pipe.unet.dtype
     if H <= th and W <= tw and (H, W) == (th, tw):
-        out = sample_fn(params, rng, text_embeds, uncond_embeds,
-                        jnp.asarray(cond), jnp.asarray(flow))
+        out = sample_fn(params, rng, jnp.asarray(text_embeds, dtype),
+                        jnp.asarray(uncond_embeds, dtype),
+                        jnp.asarray(cond, dtype), jnp.asarray(flow, dtype))
         return np.asarray(out)
 
     coords = tile_grid(H, W, tile, overlap)
@@ -94,15 +104,14 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     text_t = rep(text_embeds)
     uncond_t = rep(uncond_embeds)
 
-    # ONE host->device upload of all tiles, in bf16 (the models cast the
-    # conditioning to the compute dtype anyway); chunks are then sliced on
-    # device, and chunk outputs stay on device until a single final fetch.
-    # Per-chunk uploads through a remote-tunnel device measured ~20 s per
-    # 70 MB chunk — this turns 36% host overhead at 1080p into ~5%.
-    cond_d = jnp.asarray(cond_t, jnp.bfloat16)
-    flow_d = jnp.asarray(flow_t, jnp.bfloat16)
-    text_d = jnp.asarray(text_t, jnp.bfloat16)
-    uncond_d = jnp.asarray(uncond_t, jnp.bfloat16)
+    # ONE host->device upload of all tiles in the compute dtype; chunks
+    # are then sliced on device, and chunk outputs stay on device until a
+    # single final fetch.  Per-chunk f32 uploads through a remote-tunnel
+    # device measured ~20 s per 70 MB chunk.
+    cond_d = jnp.asarray(cond_t, dtype)
+    flow_d = jnp.asarray(flow_t, dtype)
+    text_d = jnp.asarray(text_t, dtype)
+    uncond_d = jnp.asarray(uncond_t, dtype)
 
     total = cond_t.shape[0]
     step = tile_batch or total

@@ -149,7 +149,8 @@ def cmd_decode(args):
         return jit_sample(params, jax.random.PRNGKey(args.seed), t, u,
                           jnp.asarray(cond), jnp.asarray(flow))
 
-    out = decode_video(enc, sample_fn, max_batch=args.max_batch)
+    out = decode_video(enc, sample_fn, max_batch=args.max_batch,
+                       transfer_dtype=jnp.bfloat16)
     os.makedirs(args.out, exist_ok=True)
     for i, frame in enumerate(out):
         Image.fromarray(frame).save(
