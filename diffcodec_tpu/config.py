@@ -75,7 +75,11 @@ class CLIPTextConfig:
 
     @classmethod
     def tiny(cls):
-        return cls(vocab_size=1000, hidden_dim=32, layers=2, heads=2,
+        # keep the REAL vocab: the production BPE tokenizer emits ids up
+        # to 49407, and an nn.Embed lookup past the table end fills NaN
+        # (jnp.take fill semantics) — a tiny vocab silently NaN-poisons
+        # any pipeline that pairs this config with the real tokenizer
+        return cls(vocab_size=49408, hidden_dim=32, layers=2, heads=2,
                    max_length=16)
 
 

@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--perceptual_weight", type=float, default=0.0)
+    p.add_argument("--lpips_checkpoint", default="",
+                   help="torch lpips-alex state dict for the perceptual "
+                        "loss (random init if absent)")
     p.add_argument("--edge_weight", type=float, default=0.0)
     p.add_argument("--mixed_precision", default="bf16",
                    choices=["no", "bf16"])
@@ -148,6 +151,24 @@ def main(argv=None):
         "text": text_encoder.init(k4, z((1, clip_cfg.max_length),
                                         jnp.int32)),
     }
+    lpips_model = None
+    if args.perceptual_weight:
+        # the perceptual loss needs the LPIPS net wired into the trainer
+        # (frozen alex features + linear heads; import real weights via
+        # --lpips_checkpoint, hf_import.convert_lpips_alex layout)
+        from diffcodec_tpu.train.lpips import LPIPS
+        lpips_model = LPIPS()
+        frozen["lpips"] = lpips_model.init(
+            jax.random.PRNGKey(args.seed + 7),
+            z((1, 64, 64, 3)), z((1, 64, 64, 3)))
+        if args.lpips_checkpoint and os.path.exists(args.lpips_checkpoint):
+            from diffcodec_tpu.models import hf_import
+            frozen["lpips"], _, _ = hf_import.convert_state_dict(
+                hf_import.load_torch_state_dict(args.lpips_checkpoint),
+                hf_import.lpips_alex_name_map(), frozen["lpips"],
+                strict=False)
+            logger.info("loaded LPIPS weights from %s",
+                        args.lpips_checkpoint)
 
     # optional warm starts from torch checkpoints
     if args.sd_checkpoint_dir:
@@ -188,7 +209,8 @@ def main(argv=None):
         seed=args.seed)
     schedule = NoiseSchedule.create(SchedulerConfig())
     trainer = ControlNetTrainer(unet=unet, controlnet=controlnet, vae=vae,
-                                schedule=schedule, config=tcfg)
+                                schedule=schedule, config=tcfg,
+                                lpips=lpips_model)
     mesh = make_mesh(MeshConfig(fsdp_size=args.fsdp))
     state = TrainState.create(cn_params, make_optimizer(tcfg))
 

@@ -183,3 +183,40 @@ def test_res_controlnet_train_step():
                                         jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss_mse"]))
     assert int(state.step) == 1
+
+
+def test_real_tokenizer_text_embeds_and_loss_finite(tmp_path):
+    """Regression: CLIPTextConfig.tiny() must cover the REAL tokenizer's
+    id range (an nn.Embed lookup past the table fills NaN and silently
+    poisons the whole training loss), and the loss stays finite with the
+    encoder-produced embeddings."""
+    from diffcodec_tpu.config import CLIPTextConfig
+    from diffcodec_tpu.models.clip_text import CLIPTextEncoder
+    from diffcodec_tpu.utils.tokenizer import default_tokenizer
+
+    rng = jax.random.PRNGKey(0)
+    clip_cfg = CLIPTextConfig.tiny()
+    tok = default_tokenizer(clip_cfg.max_length)
+    enc = CLIPTextEncoder(clip_cfg)
+    ids = jnp.asarray(tok(["", "a video frame of a street"]))
+    assert int(ids.max()) < clip_cfg.vocab_size
+    p_text = enc.init(rng, ids)
+    emb = enc.apply(p_text, ids)
+    assert np.isfinite(np.asarray(emb)).all()
+
+    unet, controlnet, vae, cn_params, frozen, batch = _tiny_setup(rng)
+    B, L, D = batch["text_embeds"].shape
+    # project the real embeddings to the tiny cross-attention width and
+    # tile to the batch
+    proj = jax.random.normal(rng, (emb.shape[-1], D)) * 0.1
+    embp = jnp.asarray(emb[:, :L] @ proj)
+    batch = dict(batch)
+    batch["text_embeds"] = jnp.tile(embp, (B // embp.shape[0], 1, 1))[:B]
+    trainer = ControlNetTrainer(
+        unet=unet, controlnet=controlnet, vae=vae,
+        schedule=NoiseSchedule.create(SchedulerConfig()),
+        config=TrainConfig(learning_rate=1e-4, lr_warmup_steps=0,
+                           max_train_steps=2, edge_weight=0.1))
+    loss, metrics = trainer.loss_fn(cn_params, frozen, batch,
+                                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)), metrics
