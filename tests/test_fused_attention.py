@@ -43,9 +43,11 @@ def test_fused_attention_bf16_close():
     assert np.abs(got - ref).max() < 0.05
 
 
-def test_fused_attention_cross_short_kv():
-    """Cross-attention shape: Lk=128 (padded 77-token context)."""
-    B, Lq, Lk, H, D = 2, 256, 128, 2, 40
+@pytest.mark.parametrize("Lk", [128, 77])
+def test_fused_attention_cross_short_kv(Lk):
+    """Cross-attention: true 77-token CLIP context (padded keys must get
+    zero softmax mass, matching torch SDPA) and the 128 tile boundary."""
+    B, Lq, H, D = 2, 256, 2, 40
     scale = 1.0 / np.sqrt(D)
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
     q = jax.random.normal(kq, (B, Lq, H, D), jnp.float32)
@@ -54,3 +56,32 @@ def test_fused_attention_cross_short_kv():
     ref = _oracle(q, k, v, scale)
     got = np.asarray(fused_attention(q, k, v, scale, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_ragged_lq():
+    """Lq not a multiple of the block: padded query rows are sliced off."""
+    B, Lq, Lk, H, D = 1, 200, 77, 2, 40
+    scale = 1.0 / np.sqrt(D)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (B, Lq, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Lk, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Lk, H, D), jnp.float32)
+    ref = _oracle(q, k, v, scale)
+    got = np.asarray(fused_attention(q, k, v, scale, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_pick_block_q_divides_headline_shapes():
+    """Regression (ADVICE r2): the picker must return a divisor of Lq at
+    every SD latent length, for bf16 and fp32, within the VMEM budget."""
+    from diffcodec_tpu.ops.attention import _pick_block_q
+    for Lq in (4096, 1024, 256, 128):
+        for Dp in (128, 256):
+            for itemsize in (2, 4):
+                bq = _pick_block_q(Lq, Lq, Dp, itemsize)
+                assert Lq % bq == 0, (Lq, Dp, itemsize, bq)
+                need = (2 * Lq * Dp * itemsize + bq * Lq * (4 + itemsize)
+                        + 4 * bq * Dp * itemsize)
+                # soft budget 12 MB; the minimum-block fallback may use up
+                # to the 16 MB scoped-VMEM hard limit
+                assert need <= 16 * 1024 * 1024
