@@ -5,8 +5,8 @@
 test:
 	python -m pytest tests/ -q
 
-test-fast:
-	python -m pytest tests/ -q -x
+test-fast:  ## <10 min iteration lane (skips the marked slow tier)
+	python -m pytest tests/ -q -x -m "not slow"
 
 bench:          ## flagship 512px GOP-batch decode throughput (TPU)
 	python bench.py

@@ -85,9 +85,18 @@ def ssim(a, b, data_range: float = 255.0):
 
 def ms_ssim(a, b, data_range: float = 255.0,
             weights: Sequence[float] = _MSSSIM_WEIGHTS):
-    """Multi-scale SSIM, pytorch_msssim-compatible: cs at coarse scales,
-    ssim at the finest, combined as prod(m^w); 2x avg-pool downsampling.
-    Requires H, W >= 160 for the standard 5 scales (else reduce weights)."""
+    """Multi-scale SSIM with exact pytorch_msssim semantics (the package
+    the reference uses at data_range 255, `test_utils.py:41-42`):
+
+      * per-channel spatial means of cs (coarse scales) / ssim (finest),
+        relu-clamped, combined as prod(m^w) PER CHANNEL, then averaged
+        over channels (channel-mean-of-products, not product-of-means);
+      * 2x avg-pool downsampling between scales with symmetric zero
+        padding of `dim % 2` on each side, zeros included in the average
+        (torch `avg_pool2d(x, 2, padding=s%2)`, count_include_pad=True).
+
+    Requires H, W >= 160 for the standard 5 scales (else reduce weights).
+    Returns [B]."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     levels = len(weights)
@@ -95,26 +104,25 @@ def ms_ssim(a, b, data_range: float = 255.0,
     values = []
     for i in range(levels):
         ssim_map, cs_map = _ssim_components(a, b, data_range)
-        # relu-clamp like pytorch_msssim to avoid negative bases
         if i < levels - 1:
-            values.append(jnp.maximum(jnp.mean(cs_map, axis=(1, 2, 3)), 0.0))
+            values.append(jnp.maximum(jnp.mean(cs_map, axis=(1, 2)), 0.0))
             pad_h = a.shape[1] % 2
             pad_w = a.shape[2] % 2
-            if pad_h or pad_w:
-                a = jnp.pad(a, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-                            mode="edge")
-                b = jnp.pad(b, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-                            mode="edge")
-            a = _avg_pool2(a)
-            b = _avg_pool2(b)
+            a = _avg_pool2(a, pad_h, pad_w)
+            b = _avg_pool2(b, pad_h, pad_w)
         else:
-            values.append(jnp.maximum(jnp.mean(ssim_map, axis=(1, 2, 3)),
+            values.append(jnp.maximum(jnp.mean(ssim_map, axis=(1, 2)),
                                       0.0))
-    stacked = jnp.stack(values, axis=0)  # [levels, B]
-    return jnp.prod(stacked ** w[:, None], axis=0)
+    stacked = jnp.stack(values, axis=0)  # [levels, B, C]
+    per_channel = jnp.prod(stacked ** w[:, None, None], axis=0)  # [B, C]
+    return jnp.mean(per_channel, axis=-1)
 
 
-def _avg_pool2(x):
+def _avg_pool2(x, pad_h: int = 0, pad_w: int = 0):
+    """torch F.avg_pool2d(x, 2, padding=(pad_h, pad_w)) semantics: zero
+    padding on BOTH sides, padded zeros counted in the divisor."""
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
     return lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                              "VALID") / 4.0
 

@@ -139,7 +139,7 @@ class MotionDecoderSkipLayer(nn.Module):
             return x
 
         x1 = block(x, 3, "decoder1")
-        x2 = resize_bilinear(block(x, 2, "decoder2", 2), H, W,
+        x2 = resize_bilinear(block(x, 3, "decoder2", 2), H, W,
                              align_corners=True)
         x4 = resize_bilinear(block(x, 3, "decoder4", 4), H, W,
                              align_corners=True)
@@ -179,6 +179,101 @@ def fuse_discrete_flow(flow_prob: jnp.ndarray, nbins: int = 99,
     u = jnp.sum(px * mesh, axis=-1, keepdims=True)
     v = jnp.sum(py * mesh, axis=-1, keepdims=True)
     return jnp.concatenate([u, v], axis=-1)
+
+
+def cmp_name_map(nbins: int = 99):
+    """Torch CMP checkpoint names (`cmp/models/modules/cmp.py:5-34` module
+    attributes: image_encoder resnet50 FCN / flow_encoder shallownet /
+    flow_decoder MotionDecoderSkipLayer) -> our flax CMP param paths, for
+    `hf_import.convert_state_dict`.  BatchNorm running stats are in
+    `cmp_batch_stats_map`."""
+    out = []
+
+    def conv(t, f, bias=True):
+        out.append((f"{t}.weight", f + ("conv", "kernel"), "conv_kernel"))
+        if bias:
+            out.append((f"{t}.bias", f + ("conv", "bias"), "bias"))
+
+    def bn(t, f):
+        out.append((f"{t}.weight", f + ("bn", "scale"), "raw"))
+        out.append((f"{t}.bias", f + ("bn", "bias"), "raw"))
+
+    ie, fe, fd = "image_encoder", "flow_encoder", "flow_decoder"
+    # resnet50 FCN stem
+    out.append((f"{ie}.conv1.weight", ("image_encoder", "conv1", "kernel"),
+                "conv_kernel"))
+    out.append((f"{ie}.bn1.weight", ("image_encoder", "bn1", "scale"),
+                "raw"))
+    out.append((f"{ie}.bn1.bias", ("image_encoder", "bn1", "bias"), "raw"))
+    for li, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for b in range(blocks):
+            t = f"{ie}.layer{li}.{b}"
+            f = ("image_encoder", f"layer{li}_{b}")
+            for c in ("conv1", "conv2", "conv3"):
+                conv(f"{t}.{c}", f + (c,), bias=False)
+                bn(f"{t}.bn{c[-1]}", f + (c,))
+            if b == 0:
+                conv(f"{t}.downsample.0", f + ("downsample",), bias=False)
+                bn(f"{t}.downsample.1", f + ("downsample",))
+    out.append((f"{ie}.conv5.weight", ("image_encoder", "conv5", "kernel"),
+                "conv_kernel"))
+    out.append((f"{ie}.conv5.bias", ("image_encoder", "conv5", "bias"),
+                "bias"))
+    # shallownet (Sequential indices: conv0/bn1, conv4/bn5)
+    conv(f"{fe}.features.0", ("flow_encoder", "conv1"))
+    bn(f"{fe}.features.1", ("flow_encoder", "conv1"))
+    conv(f"{fe}.features.4", ("flow_encoder", "conv2"))
+    bn(f"{fe}.features.5", ("flow_encoder", "conv2"))
+    # decoder: decoder1 convs at 0/3/6 (+bn at 1/4/7); pooled branches
+    # shift by the leading MaxPool (conv at 1/4/7, bn at 2/5/8)
+    for name, base in (("decoder1", 0), ("decoder2", 1), ("decoder4", 1),
+                       ("decoder8", 1)):
+        for i in range(3):
+            conv(f"{fd}.{name}.{base + 3 * i}",
+                 ("flow_decoder", f"{name}_{i}"))
+            bn(f"{fd}.{name}.{base + 3 * i + 1}",
+               ("flow_decoder", f"{name}_{i}"))
+    for name in ("fusion8", "skipconv4", "fusion4", "skipconv2", "fusion2"):
+        conv(f"{fd}.{name}.0", ("flow_decoder", name))
+        bn(f"{fd}.{name}.1", ("flow_decoder", name))
+    out.append((f"{fd}.head.weight", ("flow_decoder", "head", "kernel"),
+                "conv_kernel"))
+    out.append((f"{fd}.head.bias", ("flow_decoder", "head", "bias"),
+                "bias"))
+    return out
+
+
+def cmp_batch_stats_map(nbins: int = 99):
+    """BatchNorm running_mean/var entries (the 'batch_stats' collection)."""
+    out = []
+
+    def bn(t, f):
+        out.append((f"{t}.running_mean", f + ("bn", "mean"), "raw"))
+        out.append((f"{t}.running_var", f + ("bn", "var"), "raw"))
+
+    ie, fe, fd = "image_encoder", "flow_encoder", "flow_decoder"
+    out.append((f"{ie}.bn1.running_mean",
+                ("image_encoder", "bn1", "mean"), "raw"))
+    out.append((f"{ie}.bn1.running_var",
+                ("image_encoder", "bn1", "var"), "raw"))
+    for li, blocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for b in range(blocks):
+            t = f"{ie}.layer{li}.{b}"
+            f = ("image_encoder", f"layer{li}_{b}")
+            for c in ("conv1", "conv2", "conv3"):
+                bn(f"{t}.bn{c[-1]}", f + (c,))
+            if b == 0:
+                bn(f"{t}.downsample.1", f + ("downsample",))
+    bn(f"{fe}.features.1", ("flow_encoder", "conv1"))
+    bn(f"{fe}.features.5", ("flow_encoder", "conv2"))
+    for name, base in (("decoder1", 0), ("decoder2", 1), ("decoder4", 1),
+                       ("decoder8", 1)):
+        for i in range(3):
+            bn(f"{fd}.{name}.{base + 3 * i + 1}",
+               ("flow_decoder", f"{name}_{i}"))
+    for name in ("fusion8", "skipconv4", "fusion4", "skipconv2", "fusion2"):
+        bn(f"{fd}.{name}.1", ("flow_decoder", name))
+    return out
 
 
 class CMP(nn.Module):

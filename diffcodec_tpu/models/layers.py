@@ -328,7 +328,10 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) GELU: HF GEGLU uses torch F.gelu's default, not the
+        # tanh approximation (flax's default) — the ~1e-3 divergence is
+        # visible in real-weight numerics
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -350,13 +353,15 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # eps 1e-5: torch nn.LayerNorm default, used by HF
+        # BasicTransformerBlock (flax's default is 1e-6)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
                           name="attn1")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype,
                           name="attn2")(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + FeedForward(dtype=self.dtype, name="ff")(h)
 
 
@@ -384,14 +389,22 @@ class Transformer2D(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Strided 3x3 downsampling conv.
+
+    The UNet variant pads symmetrically (HF downsample_padding=1); the VAE
+    encoder variant (`asymmetric_pad=True`) pads right/bottom only — HF's
+    Encoder builds Downsample2D with padding=0 and F.pads (0,1,0,1) in
+    forward.  Same output shape on even inputs, different values.
+    """
     out_channels: int
+    asymmetric_pad: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                       padding=((1, 1), (1, 1)), dtype=self.dtype,
-                       name="conv")(x)
+                       padding=pad, dtype=self.dtype, name="conv")(x)
 
 
 class _UpsampleConv(nn.Module):

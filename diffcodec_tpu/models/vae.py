@@ -31,16 +31,18 @@ class Encoder(nn.Module):
         for i, mult in enumerate(c.channel_mults):
             ch = c.base_channels * mult
             for j in range(c.layers_per_block):
-                h = ResnetBlock2D(ch, use_time_emb=False, dtype=self.dtype,
+                h = ResnetBlock2D(ch, use_time_emb=False, eps=1e-6,
+                                  dtype=self.dtype,
                                   name=f"down_{i}_resnet_{j}")(h)
             if i < len(c.channel_mults) - 1:
-                h = Downsample2D(ch, dtype=self.dtype,
+                # HF's VAE encoder downsample pads right/bottom only
+                h = Downsample2D(ch, asymmetric_pad=True, dtype=self.dtype,
                                  name=f"down_{i}_downsample")(h)
-        h = ResnetBlock2D(h.shape[-1], use_time_emb=False, dtype=self.dtype,
-                          name="mid_resnet_0")(h)
+        h = ResnetBlock2D(h.shape[-1], use_time_emb=False, eps=1e-6,
+                          dtype=self.dtype, name="mid_resnet_0")(h)
         h = AttentionBlock2D(dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(h.shape[-1], use_time_emb=False, dtype=self.dtype,
-                          name="mid_resnet_1")(h)
+        h = ResnetBlock2D(h.shape[-1], use_time_emb=False, eps=1e-6,
+                          dtype=self.dtype, name="mid_resnet_1")(h)
         h = GroupNorm32(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding="SAME",
@@ -57,15 +59,16 @@ class Decoder(nn.Module):
         top = c.base_channels * c.channel_mults[-1]
         h = nn.Conv(top, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv_in")(z)
-        h = ResnetBlock2D(top, use_time_emb=False, dtype=self.dtype,
-                          name="mid_resnet_0")(h)
+        h = ResnetBlock2D(top, use_time_emb=False, eps=1e-6,
+                          dtype=self.dtype, name="mid_resnet_0")(h)
         h = AttentionBlock2D(dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(top, use_time_emb=False, dtype=self.dtype,
-                          name="mid_resnet_1")(h)
+        h = ResnetBlock2D(top, use_time_emb=False, eps=1e-6,
+                          dtype=self.dtype, name="mid_resnet_1")(h)
         for i, mult in enumerate(reversed(c.channel_mults)):
             ch = c.base_channels * mult
             for j in range(c.layers_per_block + 1):
-                h = ResnetBlock2D(ch, use_time_emb=False, dtype=self.dtype,
+                h = ResnetBlock2D(ch, use_time_emb=False, eps=1e-6,
+                                  dtype=self.dtype,
                                   name=f"up_{i}_resnet_{j}")(h)
             if i < len(c.channel_mults) - 1:
                 h = Upsample2D(ch, dtype=self.dtype,

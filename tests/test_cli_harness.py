@@ -37,7 +37,7 @@ def _make_dataset(tmp_path, n=4, res=32):
     idx.write_text("\n".join(frames))
     return str(idx)
 
-
+@pytest.mark.slow
 def test_train_cli_checkpoint_rotation_and_resume(tmp_path):
     import train_controlnet as cli
 
@@ -60,7 +60,7 @@ def test_train_cli_checkpoint_rotation_and_resume(tmp_path):
     assert steps[-1] == 8
     assert len(steps) <= 2
 
-
+@pytest.mark.slow
 def test_codec_cli_encode_eval(tmp_path):
     import run_codec as cli
     from PIL import Image
@@ -91,7 +91,7 @@ def test_codec_cli_encode_eval(tmp_path):
     cli.main(["eval", "--orig", str(frames_dir), "--pred", dec,
               "--gop", "2"])
 
-
+@pytest.mark.slow
 def test_train_cli_in_loop_validation(tmp_path):
     """--validation_steps triggers sampling validation with panel output
     (log_validation parity)."""
@@ -107,7 +107,7 @@ def test_train_cli_in_loop_validation(tmp_path):
     val_dir = os.path.join(out, "validation")
     assert os.path.isdir(val_dir) and len(os.listdir(val_dir)) > 0
 
-
+@pytest.mark.slow
 def test_export_checkpoint_cli(tmp_path):
     """Train 2 tiny steps, export to the reference torch layout, reimport
     through the converter and verify tensor equality."""

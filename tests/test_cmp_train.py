@@ -93,7 +93,7 @@ def test_distributed_given_iteration_indices():
     # rank slices are disjoint positions of one global shuffle
     assert not np.array_equal(a0, a1)
 
-
+@pytest.mark.slow
 def test_cmp_train_step_runs_and_descends():
     cmp = CMP(img_enc_dim=8, sparse_enc_dim=4, nbins=9, fmax=50.0)
     B, H = 1, 64

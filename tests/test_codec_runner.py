@@ -83,7 +83,7 @@ def test_encode_decode_roundtrip(tmp_path, mode):
     else:
         assert np.abs(captured["flow"]).max() == 0
 
-
+@pytest.mark.slow
 def test_decode_with_tiny_diffusion_decoder(tmp_path):
     """Full path incl. the real jitted pipeline on a tiny model."""
     from diffcodec_tpu.models.controlnet import DualFlowControlNet

@@ -17,7 +17,7 @@ from diffcodec_tpu.parallel.mesh import make_mesh, shard_batch
 from diffcodec_tpu.sampling.pipeline import DualFlowPipeline
 from diffcodec_tpu.sampling.schedulers import NoiseSchedule
 
-
+@pytest.mark.slow
 def test_gop_batch_decode_sharded_matches_unsharded():
     unet = UNet2DConditionModel(UNetConfig.tiny())
     cn = DualFlowControlNet(ControlNetConfig.tiny())

@@ -19,7 +19,7 @@ def tiny_i3d():
                            jnp.zeros((1, 16, 64, 64, 3)))
     return model, variables
 
-
+@pytest.mark.slow
 def test_i3d_output_shape(tiny_i3d):
     model, variables = tiny_i3d
     out = model.apply(variables, jnp.zeros((2, 16, 64, 64, 3)))

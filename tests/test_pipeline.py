@@ -127,7 +127,7 @@ def test_encode_prompt_pairs():
         enc, params, tok, ["a cat"], negative_prompts=["blurry"])
     assert np.abs(uncond2[0] - uncond[0]).max() > 1e-6
 
-
+@pytest.mark.slow
 def test_controlnet_interval_caching(tiny_pipeline_setup):
     """interval=1 == exact path; interval=2 runs, differs but stays close."""
     unet, controlnet, vae, schedule, params = tiny_pipeline_setup
@@ -175,7 +175,7 @@ def test_sample_with_custom_init_latents(tiny_pipeline_setup):
                                cond, flow, latents=lat))
     np.testing.assert_array_equal(a, b)  # rng unused when latents given
 
-
+@pytest.mark.slow
 def test_unet_encoder_interval_caching(tiny_pipeline_setup):
     """Encoder propagation: interval=1 bit-identical to the plain path;
     interval=2 runs finite and differs (the cached down features skip a

@@ -47,7 +47,7 @@ def tiny_pipe():
     }
     return pipe, params
 
-
+@pytest.mark.slow
 def test_sample_tiled_highres(tiny_pipe):
     """48x64 conditioning with 32x32 tiles overlap 8 -> full-res output."""
     pipe, params = tiny_pipe

@@ -215,7 +215,7 @@ def test_compute_mask_matches_reference(reference_controlnet_modules):
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), expected,
                                atol=1e-5)
 
-
+@pytest.mark.slow
 def test_bidir_feature_extractor_matches_reference(
         reference_controlnet_modules):
     """Full Bi_Dir_FeatureExtractor pyramid (`extractors.py:209-315`) vs
@@ -303,7 +303,7 @@ def test_bidir_residue_extractor_matches_reference(
         assert np.asarray(g).shape == e.shape
         np.testing.assert_allclose(np.asarray(g), e, atol=5e-5, rtol=1e-3)
 
-
+@pytest.mark.slow
 def test_warp_extractor_matches_reference(reference_controlnet_modules):
     """WarpExtractor pyramid (`extractors.py:26-65`)."""
     import jax
@@ -408,7 +408,7 @@ def test_inception_fid64_prefix_matches_torch_redeclaration():
 # ---------------------------------------------------------------------------
 # (iii) I3D (FVD backbone) vs the reference's vendored pytorch_i3d
 # ---------------------------------------------------------------------------
-
+@pytest.mark.slow
 def test_i3d_matches_reference_pytorch_i3d():
     i3d_dir = os.path.join(REFERENCE, "fvd_utils", "models", "fvd")
     if not os.path.isdir(i3d_dir):
@@ -454,3 +454,280 @@ def test_i3d_matches_reference_pytorch_i3d():
                                  xj)).squeeze()
     assert got.shape == expected_logits.shape
     np.testing.assert_allclose(got, expected_logits, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# (v) SD-1.5 UNet / VAE / ControlNet trunk vs independent torch
+# re-declarations of the HF architectures (tests/torch_sd.py) — closes the
+# last self-referentially-tested converters (`unet_name_map`,
+# `vae_name_map`, `controlnet_name_map` trunk entries).  Reference loads:
+# `train_controlnet.py:805-814`; consumption: `pipeline.py:358-367`.
+# ---------------------------------------------------------------------------
+
+def _randomize(module, lo=-0.25, hi=0.25, seed=11):
+    torch.manual_seed(seed)
+    for p in module.parameters():
+        with torch.no_grad():
+            p.uniform_(lo, hi)
+    # keep normalization scales near 1 so activations neither vanish nor
+    # blow up through the deep stack (tests real math either way; this
+    # keeps tolerances meaningful)
+    for m in module.modules():
+        if isinstance(m, (torch.nn.GroupNorm, torch.nn.LayerNorm)) and \
+                m.weight is not None:
+            with torch.no_grad():
+                m.weight.uniform_(0.7, 1.3)
+                m.bias.uniform_(-0.1, 0.1)
+
+
+def test_unet2d_condition_matches_torch_redeclaration():
+    """Full UNet forward — including ControlNet residual injection and
+    FreeU (validation.py:106 settings) — vs the torch re-declaration."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.config import UNetConfig
+    from diffcodec_tpu.models.hf_import import (convert_state_dict,
+                                                unet_name_map)
+    from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
+    from torch_sd import UNet2DConditionTorch
+
+    cfg = UNetConfig.tiny()
+    tmodel = UNet2DConditionTorch(cfg).eval()
+    _randomize(tmodel, seed=21)
+
+    B, hw, L = 2, 16, 7
+    torch.manual_seed(22)
+    sample = torch.randn(B, 4, hw, hw)
+    ctx = torch.randn(B, L, cfg.cross_attention_dim)
+    t = torch.tensor(123)
+    # nonzero ControlNet residuals at the down-path widths/resolutions
+    widths = [(32, 16), (32, 16), (32, 8), (64, 8), (64, 4), (64, 4)]
+    down_res = [torch.randn(B, c, r, r) * 0.1 for c, r in widths]
+    mid_res = torch.randn(B, 64, 4, 4) * 0.1
+    freeu = (0.9, 0.2, 1.2, 1.4)
+    with torch.no_grad():
+        expected = _to_np(tmodel(sample, t, ctx, list(down_res), mid_res,
+                                 freeu=freeu)).transpose(0, 2, 3, 1)
+
+    model = UNet2DConditionModel(cfg)
+    to_nhwc = lambda v: jnp.asarray(v.numpy().transpose(0, 2, 3, 1))
+    sj, ctxj = to_nhwc(sample), jnp.asarray(ctx.numpy())
+    template = model.init(jax.random.PRNGKey(0), sj, jnp.int32(0), ctxj)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, missing, unused = convert_state_dict(sd, unet_name_map(cfg),
+                                                 template, strict=True)
+    assert not unused, unused
+    got = np.asarray(model.apply(
+        params, sj, jnp.int32(123), ctxj,
+        tuple(to_nhwc(r) for r in down_res), to_nhwc(mid_res),
+        freeu=freeu))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-3)
+
+    # and without residuals / FreeU (the plain frozen forward)
+    with torch.no_grad():
+        expected2 = _to_np(tmodel(sample, t, ctx)).transpose(0, 2, 3, 1)
+    got2 = np.asarray(model.apply(params, sj, jnp.int32(123), ctxj))
+    np.testing.assert_allclose(got2, expected2, atol=1e-4, rtol=1e-3)
+
+
+def test_autoencoder_kl_matches_torch_redeclaration():
+    """VAE encode (moments through quant_conv) and decode vs the torch
+    re-declaration — covers the asymmetric encoder downsample padding and
+    the 1e-6 eps VAE norms."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.config import VAEConfig
+    from diffcodec_tpu.models.hf_import import (convert_state_dict,
+                                                vae_name_map)
+    from diffcodec_tpu.models.vae import AutoencoderKL
+    from torch_sd import AutoencoderKLTorch
+
+    cfg = VAEConfig.tiny()
+    tmodel = AutoencoderKLTorch(cfg).eval()
+    _randomize(tmodel, seed=31)
+
+    torch.manual_seed(32)
+    x = torch.rand(2, 3, 32, 32) * 2 - 1
+    z = torch.randn(2, cfg.latent_channels, 16, 16)
+    with torch.no_grad():
+        moments_t = _to_np(tmodel.encode_moments(x)).transpose(0, 2, 3, 1)
+        decoded_t = _to_np(tmodel.decode(z)).transpose(0, 2, 3, 1)
+
+    model = AutoencoderKL(cfg)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    zj = jnp.asarray(z.numpy().transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), xj)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, missing, unused = convert_state_dict(sd, vae_name_map(cfg),
+                                                 template, strict=True)
+    assert not unused, unused
+    mean, logvar = model.apply(params, xj, method=model.encode)
+    got_moments = np.concatenate([np.asarray(mean), np.asarray(logvar)],
+                                 axis=-1)
+    np.testing.assert_allclose(got_moments, moments_t, atol=5e-5, rtol=1e-3)
+    got_dec = np.asarray(model.apply(params, zj, method=model.decode))
+    np.testing.assert_allclose(got_dec, decoded_t, atol=5e-5, rtol=1e-3)
+
+
+def test_controlnet_trunk_matches_torch_redeclaration():
+    """ControlNet trunk — conv_in + FDN-injected down path + mid + zero-conv
+    heads, `flownet.py:51-138` wiring incl. the shared deepest FDN — vs the
+    torch re-declaration, with randomized (non-zero) heads and
+    conditioning_scale != 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.config import ControlNetConfig
+    from diffcodec_tpu.models.controlnet import ControlNetTrunk
+    from diffcodec_tpu.models.hf_import import (controlnet_name_map,
+                                                convert_state_dict)
+    from torch_sd import DualFlowControlNetTrunkTorch
+
+    cfg = ControlNetConfig.tiny()
+    tmodel = DualFlowControlNetTrunkTorch(cfg.unet, cfg.inject_channels)
+    tmodel = tmodel.eval()
+    _randomize(tmodel, seed=41)  # includes the zero-conv heads
+
+    B, hw, L = 2, 16, 7
+    torch.manual_seed(42)
+    sample = torch.randn(B, 4, hw, hw)
+    ctx = torch.randn(B, L, cfg.unet.cross_attention_dim)
+    pyr_shapes = [(cfg.inject_channels[0], hw), (cfg.inject_channels[1],
+                                                 hw // 2),
+                  (cfg.inject_channels[2], hw // 4)]
+    pyramid_t = [torch.randn(B, c, r, r) for c, r in pyr_shapes]
+    scale = 1.35
+    with torch.no_grad():
+        down_t, mid_t = tmodel(sample, torch.tensor(37), ctx, pyramid_t,
+                               conditioning_scale=scale)
+
+    # trunk-only slice of the production controlnet_name_map
+    name_map = [(t, f[1:], k) for t, f, k in controlnet_name_map(cfg)
+                if f[0] == "trunk"]
+    model = ControlNetTrunk(cfg)
+    to_nhwc = lambda v: jnp.asarray(v.numpy().transpose(0, 2, 3, 1))
+    sj, ctxj = to_nhwc(sample), jnp.asarray(ctx.numpy())
+    pyrj = [to_nhwc(p) for p in pyramid_t]
+    template = model.init(jax.random.PRNGKey(0), sj, jnp.int32(0), ctxj,
+                          pyrj)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, missing, unused = convert_state_dict(sd, name_map, template,
+                                                 strict=True)
+    assert not unused, unused
+    down_j, mid_j = model.apply(params, sj, jnp.int32(37), ctxj, pyrj,
+                                scale)
+    assert len(down_j) == len(down_t)
+    for g, e in zip(down_j, down_t):
+        np.testing.assert_allclose(np.asarray(g),
+                                   _to_np(e).transpose(0, 2, 3, 1),
+                                   atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mid_j),
+                               _to_np(mid_t).transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# (vi) CMP (sparse->dense motion decompressor) vs the reference's actual
+# torch modules (`cmp/models/backbone/resnet.py`, `modules/shallownet.py`,
+# `modules/decoder.py`), composed exactly like `cmp/models/modules/cmp.py:26-34`
+# with the Fuser expectation + upsample of `cmp/models/cmp.py:30-43`.
+# ---------------------------------------------------------------------------
+
+def _load_ref_module(relpath, name):
+    import importlib.util
+    path = os.path.join(REFERENCE, relpath)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+@pytest.mark.slow
+def test_cmp_matches_reference_modules():
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.cmp import (CMP, cmp_batch_stats_map,
+                                          cmp_name_map)
+    from diffcodec_tpu.models.hf_import import convert_state_dict
+
+    resnet = _load_ref_module("cmp/models/backbone/resnet.py", "ref_resnet")
+    shallow = _load_ref_module("cmp/models/modules/shallownet.py",
+                               "ref_shallownet")
+    decoder = _load_ref_module("cmp/models/modules/decoder.py",
+                               "ref_decoder")
+
+    torch.manual_seed(8)
+
+    class RefCMP(torch.nn.Module):
+        """`cmp/models/modules/cmp.py:5-34` composition at the shipped
+        config (resnet50 img_enc_dim 256, shallownet8x 16, SkipLayer
+        decoder, output 2*99 bins)."""
+
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = resnet.resnet50(256)
+            self.flow_encoder = shallow.shallownet8x(16)
+            self.flow_decoder = decoder.MotionDecoderSkipLayer(
+                input_dim=272, output_dim=198)
+
+        def forward(self, image, sparse):
+            sparse_enc = self.flow_encoder(sparse)
+            img_enc, skip = self.image_encoder(image, ret_feat=True)
+            return self.flow_decoder(
+                torch.cat((img_enc, sparse_enc), dim=1), skip)
+
+    tmodel = RefCMP().eval()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.uniform_(0.7, 1.3)
+                m.bias.uniform_(-0.1, 0.1)
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    image = torch.rand(1, 3, 64, 64)
+    sparse = torch.cat([torch.randn(1, 2, 64, 64) * 5.0,
+                        (torch.rand(1, 2, 64, 64) > 0.97).float()], dim=1)
+    with torch.no_grad():
+        logits_t = tmodel(image, sparse)
+        # Fuser.convert_flow (`cmp/utils/visualize_utils.py:13-19`) on CPU
+        nbins, fmax = 99, 50.0
+        step = 2 * fmax / nbins
+        mesh = (torch.arange(nbins).view(1, -1, 1, 1).float() * step
+                - fmax + step / 2)
+        fx = torch.softmax(logits_t[:, :nbins], dim=1)
+        fy = torch.softmax(logits_t[:, nbins:], dim=1)
+        flow_t = torch.cat([(fx * mesh).sum(1, keepdim=True),
+                            (fy * mesh).sum(1, keepdim=True)], dim=1)
+        flow_t = torch.nn.functional.interpolate(
+            flow_t, size=(64, 64), mode="bilinear", align_corners=True)
+
+    model = CMP()
+    to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    img_j, sp_j = to_nhwc(image), to_nhwc(sparse)
+    variables = model.init(jax.random.PRNGKey(0), img_j, sp_j)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, _, unused_p = convert_state_dict(
+        sd, cmp_name_map(), variables["params"], strict=True)
+    stats, _, unused_s = convert_state_dict(
+        sd, cmp_batch_stats_map(), variables["batch_stats"], strict=True)
+    assert all("num_batches_tracked" in u for u in
+               set(unused_p) & set(unused_s))
+
+    got_logits = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, img_j, sp_j,
+        method=model.logits))
+    np.testing.assert_allclose(got_logits,
+                               _to_np(logits_t).transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+    got_flow = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, img_j, sp_j))
+    # the softmax-expectation Fuser scales fp noise by fmax=50 px
+    np.testing.assert_allclose(got_flow,
+                               _to_np(flow_t).transpose(0, 2, 3, 1),
+                               atol=5e-4, rtol=1e-3)

@@ -68,7 +68,7 @@ def test_lr_schedules():
         s = make_lr_schedule(TrainConfig(lr_scheduler=name))
         assert np.isfinite(float(s(50)))
 
-
+@pytest.mark.slow
 def test_train_step_decreases_nothing_blows_up():
     rng = jax.random.PRNGKey(0)
     unet, controlnet, vae, cn_params, frozen, batch = _tiny_setup(rng)
@@ -91,7 +91,7 @@ def test_train_step_decreases_nothing_blows_up():
                             cn_params, make_optimizer(cfg)).params)))
     assert changed
 
-
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """The pjit'd step over an 8-device mesh must produce the same loss and
     updated params as the unsharded step (determinism across shardings)."""
@@ -138,7 +138,7 @@ def test_param_shardings_cover_tree():
                      is_leaf=lambda x: hasattr(x, "spec")))
     assert any(any(ax is not None for ax in spec) for spec in specs)
 
-
+@pytest.mark.slow
 def test_res_controlnet_train_step():
     """Residual-variant training (train_rescontrolnet parity): residual
     target + warp_cond through the same trainer."""

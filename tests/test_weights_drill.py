@@ -72,7 +72,7 @@ def test_load_sd_checkpoint_dir_values(tiny_checkpoint_dir):
     np.testing.assert_array_equal(
         got_k, disk_vae["decoder.conv_in.weight"].transpose(2, 3, 1, 0))
 
-
+@pytest.mark.slow
 def test_decode_cli_with_checkpoint_dir(tiny_checkpoint_dir, tmp_path):
     """Full drill: encode a tiny clip, decode with --sd_checkpoint_dir,
     eval — the exact command path real weights will use."""
