@@ -87,6 +87,28 @@ class ZeroConv(nn.Module):
                        dtype=self.dtype, name="conv")(x)
 
 
+class SiluConv(nn.Module):
+    """SiLU -> 3x3 SAME conv, param-tree-identical to nn.Conv (same
+    'kernel'/'bias' names, shapes, and default inits) so converters and
+    checkpoints are unaffected.  Dispatches to the fused halo-DMA Pallas
+    kernel (`ops.conv_pallas`) when `DIFFCODEC_FUSED_SILU_CONV=1` and the
+    shape is in the kernel's measured win window (VAE 512px/128ch stages);
+    otherwise emits the exact ops flax's Conv lowers to."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffcodec_tpu.ops.conv_pallas import silu_conv3x3
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        return silu_conv3x3(x, kernel, bias)
+
+
 class ResnetBlock2D(nn.Module):
     """SD resnet block: GN-SiLU-conv, +time, GN-SiLU-conv, +shortcut."""
     out_channels: int
@@ -100,18 +122,14 @@ class ResnetBlock2D(nn.Module):
         residual = x
         h = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
                         name="norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype, name="conv1")(h)
+        h = SiluConv(self.out_channels, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
                         name="norm2")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype, name="conv2")(h)
+        h = SiluConv(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                                name="conv_shortcut")(residual)

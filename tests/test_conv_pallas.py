@@ -1,0 +1,100 @@
+"""Fused SiLU+conv3x3 Pallas kernel vs the XLA reference (interpret mode
+on CPU; the TPU timing evidence lives in scripts/conv_kernel_experiment.py
+and artifacts/profile_vae.json)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffcodec_tpu.ops.conv_pallas import (fused_silu_conv3x3_pallas,
+                                           silu_conv3x3, silu_conv3x3_ref,
+                                           _fused, _shape_qualifies)
+
+
+@pytest.fixture
+def shapes():
+    rng = np.random.RandomState(0)
+    B, H, W, C, O = 2, 16, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, C, O) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(O) * 0.1, jnp.float32)
+    return x, k, b
+
+
+def test_kernel_matches_ref(shapes):
+    x, k, b = shapes
+    got = np.asarray(fused_silu_conv3x3_pallas(x, k, b, th=8,
+                                               interpret=True))
+    want = np.asarray(silu_conv3x3_ref(x, k, b))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_ref_matches_flax_conv(shapes):
+    """The fallback path must be numerically identical to silu + nn.Conv
+    (what ResnetBlock2D emitted before SiluConv existed)."""
+    import flax.linen as nn
+
+    x, k, b = shapes
+    conv = nn.Conv(k.shape[-1], (3, 3), padding="SAME")
+    want = conv.apply({"params": {"kernel": k, "bias": b}}, nn.silu(x))
+    got = silu_conv3x3_ref(x, k, b)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_custom_vjp_matches_ref_grad(shapes):
+    x, k, b = shapes
+
+    def loss_fused(x, k, b):
+        return jnp.sum(jnp.sin(_fused(x, k, b)))
+
+    def loss_ref(x, k, b):
+        return jnp.sum(jnp.sin(silu_conv3x3_ref(x, k, b)))
+
+    # interpret-mode forward on CPU: call the vjp machinery directly
+    out, vjp = jax.vjp(loss_ref, x, k, b)
+    gx, gk, gb = vjp(jnp.ones_like(out))
+    from diffcodec_tpu.ops.conv_pallas import _fused_bwd
+    gx2, gk2, gb2 = _fused_bwd((x, k, b), jax.grad(
+        lambda y: jnp.sum(jnp.sin(y)))(silu_conv3x3_ref(x, k, b)))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb2), atol=1e-5)
+
+
+def test_dispatch_gate():
+    z = jnp.zeros
+    # the measured win window: big spatial, <=128ch, bf16
+    assert _shape_qualifies(z((7, 512, 512, 128), jnp.bfloat16), 128)
+    assert not _shape_qualifies(z((7, 64, 64, 128), jnp.bfloat16), 128)
+    assert not _shape_qualifies(z((7, 512, 512, 256), jnp.bfloat16), 256)
+    assert not _shape_qualifies(z((7, 512, 512, 128), jnp.float32), 128)
+    assert not _shape_qualifies(z((7, 512, 512, 128), jnp.bfloat16), 3)
+
+
+def test_flag_off_uses_ref(shapes, monkeypatch):
+    x, k, b = shapes
+    monkeypatch.delenv("DIFFCODEC_FUSED_SILU_CONV", raising=False)
+    got = silu_conv3x3(x, k, b)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(silu_conv3x3_ref(x, k, b)))
+
+
+def test_siluconv_module_param_tree_and_values():
+    """SiluConv's param tree and init values are identical to nn.Conv's,
+    so every converter/name-map over 'conv1'/'conv2' is unaffected."""
+    import flax.linen as nn
+
+    from diffcodec_tpu.models.layers import SiluConv
+
+    x = jnp.ones((1, 8, 8, 4))
+    m = SiluConv(6)
+    p = m.init(jax.random.PRNGKey(7), x)["params"]
+    conv = nn.Conv(6, (3, 3), padding="SAME")
+    pc = conv.init(jax.random.PRNGKey(7), x)["params"]
+    assert set(p) == set(pc) == {"kernel", "bias"}
+    np.testing.assert_array_equal(np.asarray(p["kernel"]),
+                                  np.asarray(pc["kernel"]))
+    out = m.apply({"params": p}, x)
+    want = conv.apply({"params": p}, nn.silu(x))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
