@@ -79,6 +79,115 @@ def load_sd_checkpoint_dir(sd_dir: str, templates: Dict[str, Dict],
     return out
 
 
+def _aux_specs():
+    """The auxiliary torch networks the RD sweep's full metric/codec gate
+    needs beyond the SD stack: LPIPS-alex (perceptual metric + train loss,
+    `controlnet/lpips_loss.py:96-107`), I3D (FVD, `fvd_utils.py`), the
+    InceptionV3 FID-64 prefix (`test_utils.py:47-56`), and CMP (sparse->
+    dense flow completion at decode, `cmp/models/cmp.py:30-43`).
+
+    Returns {name: (subdir, build_template(), params_map, stats_map)}.
+    stats_map is None for networks without BatchNorm running stats.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.eval.inception import (InceptionFID64,
+                                              inception64_batch_stats_map,
+                                              inception64_name_map)
+    from diffcodec_tpu.models.cmp import (CMP, cmp_batch_stats_map,
+                                          cmp_name_map)
+    from diffcodec_tpu.models.i3d import (InceptionI3D, i3d_batch_stats_map,
+                                          i3d_name_map)
+    from diffcodec_tpu.train.lpips import LPIPS
+
+    z, k = jnp.zeros, jax.random.PRNGKey(0)
+
+    def lpips_tmpl():
+        return LPIPS().init(k, z((1, 64, 64, 3)), z((1, 64, 64, 3)))
+
+    def i3d_tmpl():
+        return InceptionI3D(num_classes=400).init(k, z((1, 16, 64, 64, 3)))
+
+    def cmp_tmpl():
+        return CMP().init(k, z((1, 64, 64, 3)), z((1, 64, 64, 4)))
+
+    def fid_tmpl():
+        return InceptionFID64().init(k, z((1, 299, 299, 3)))
+
+    return {
+        "lpips": ("lpips", lpips_tmpl, hf_import.lpips_alex_name_map, None),
+        "i3d": ("i3d", i3d_tmpl, i3d_name_map, i3d_batch_stats_map),
+        "cmp": ("cmp", cmp_tmpl, cmp_name_map, cmp_batch_stats_map),
+        "inception": ("inception", fid_tmpl, inception64_name_map,
+                      inception64_batch_stats_map),
+    }
+
+
+def load_aux_checkpoints(root: str, which=None, strict: bool = True
+                         ) -> Dict[str, Dict]:
+    """Load the auxiliary torch checkpoints under `root` into flax variables.
+
+    Layout: {root}/{lpips,i3d,cmp,inception}/<any _WEIGHT_NAMES file>.
+    Returns {name: variables} where variables carries 'params' (and
+    'batch_stats' where the net has running stats) — directly applyable.
+    Missing subdirs are skipped when strict=False (so a partial aux set
+    still enables the metrics it covers).
+    """
+    import jax
+
+    out = {}
+    for name, (sub, tmpl_fn, pmap_fn, smap_fn) in _aux_specs().items():
+        if which is not None and name not in which:
+            continue
+        path = find_weight_file(os.path.join(root, sub))
+        if path is None:
+            if strict:
+                raise FileNotFoundError(
+                    f"no weight file for '{name}' under {root}/{sub}")
+            continue
+        sd = hf_import.load_torch_state_dict(path)
+        template = tmpl_fn()
+        params, _, _ = hf_import.convert_state_dict(
+            sd, pmap_fn(), template["params"], strict=strict)
+        variables = {"params": params}
+        if smap_fn is not None:
+            stats, _, _ = hf_import.convert_state_dict(
+                sd, smap_fn(), template["batch_stats"], strict=strict)
+            variables["batch_stats"] = stats
+        out[name] = variables
+    return out
+
+
+def synthesize_aux_checkpoints(out_dir: str, which=None,
+                               seed: int = 0) -> str:
+    """Write random-init torch-layout aux checkpoints (drill fixture for
+    `load_aux_checkpoints`) — one safetensors file per net, state-dict key
+    names exactly as the torch originals publish them."""
+    import jax
+    from safetensors.numpy import save_file
+
+    for name, (sub, tmpl_fn, pmap_fn, smap_fn) in _aux_specs().items():
+        if which is not None and name not in which:
+            continue
+        template = tmpl_fn()
+        rng_np = np.random.default_rng(seed)
+        template = jax.tree.map(
+            lambda x: np.asarray(rng_np.standard_normal(np.shape(x)) * 0.02,
+                                 np.float32), template)
+        sd = hf_import.export_state_dict(template["params"], pmap_fn())
+        if smap_fn is not None:
+            # running_var must stay positive for BN-folded forwards
+            stats = jax.tree.map(lambda x: np.abs(x) + 0.5,
+                                 template["batch_stats"])
+            sd.update(hf_import.export_state_dict(stats, smap_fn()))
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  os.path.join(out_dir, sub,
+                               "diffusion_pytorch_model.safetensors"))
+    return out_dir
+
+
 def synthesize_sd_checkpoint_dir(out_dir: str, unet_cfg, cn_cfg, vae_cfg,
                                  clip_cfg, seed: int = 0) -> str:
     """Write a random-init torch-layout SD checkpoint root (drill fixture).

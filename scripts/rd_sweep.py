@@ -39,6 +39,20 @@ def main(argv=None):
     ap.add_argument("--intra_quality", type=int, default=30)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--max_frames", type=int, default=96)
+    ap.add_argument("--cn_interval", type=int, default=1)
+    ap.add_argument("--enc_interval", type=int, default=1)
+    ap.add_argument("--sd_checkpoint_dir", default="",
+                    help="torch-layout SD-1.5 root (unet/vae/text_encoder"
+                         "/controlnet) -> converted flax weights")
+    ap.add_argument("--controlnet_checkpoint", default="",
+                    help="DualFlowControlNet safetensors overriding the "
+                         "controlnet/ subfolder")
+    ap.add_argument("--aux_checkpoint_dir", default="",
+                    help="root of lpips/ i3d/ cmp/ inception/ torch "
+                         "checkpoints; enables LPIPS/FVD/FID metrics and "
+                         "CMP sparse-flow densification")
+    ap.add_argument("--prompt", default="a high quality video frame")
+    ap.add_argument("--negative_prompt", default="")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -57,27 +71,95 @@ def main(argv=None):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from run_codec import _build_pipeline
 
-    pipe, unet_cfg = _build_pipeline(args)
+    pipe, cfgs = _build_pipeline(args)
+    unet_cfg = cfgs["unet"]
     videos = sorted(d for d in os.listdir(args.dataset_root)
                     if os.path.isdir(os.path.join(args.dataset_root, d)))
     if not videos:
         raise SystemExit(f"no videos under {args.dataset_root}")
 
     params_cache = {}
+    loaded_sd = {}
+    prompt_embeds = None
+    if args.sd_checkpoint_dir:
+        from diffcodec_tpu.config import CLIPTextConfig
+        from diffcodec_tpu.models.clip_text import CLIPTextEncoder
+        from diffcodec_tpu.models.weights import load_sd_checkpoint_dir
+        from diffcodec_tpu.utils.tokenizer import default_tokenizer
+
+        clip_cfg = CLIPTextConfig() if not args.tiny else \
+            CLIPTextConfig.tiny()
+        text_encoder = CLIPTextEncoder(clip_cfg, dtype=jnp.bfloat16)
+        z = jnp.zeros
+        text_template = text_encoder.init(
+            jax.random.PRNGKey(4), z((1, clip_cfg.max_length), jnp.int32))
+        Ht = 64  # converted conv params are resolution-independent
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        L, D = 8, unet_cfg.cross_attention_dim
+        templates = {
+            "unet": pipe.unet.init(k1, z((1, Ht // 8, Ht // 8, 4)),
+                                   z((1,), jnp.int32), z((1, L, D))),
+            "controlnet": pipe.controlnet.init(
+                k2, z((1, Ht // 8, Ht // 8, 4)), z((1,), jnp.int32),
+                z((1, L, D)), z((1, Ht, Ht, 6)), z((1, Ht, Ht, 4))),
+            "vae": pipe.vae.init(k3, z((1, 64, 64, 3))),
+            "text": text_template,
+        }
+        loaded_sd = load_sd_checkpoint_dir(
+            args.sd_checkpoint_dir, templates=templates,
+            configs={"unet": unet_cfg, "controlnet": cfgs["controlnet"],
+                     "vae": cfgs["vae"], "text": clip_cfg},
+            controlnet_path=args.controlnet_checkpoint or None)
+        tokenizer = default_tokenizer(clip_cfg.max_length)
+        prompt_embeds = pipe.encode_prompt(
+            text_encoder, loaded_sd["text"], tokenizer, [args.prompt],
+            [args.negative_prompt])
+
+    # aux nets: LPIPS / FVD(I3D) / FID(InceptionV3-64) metric gates and the
+    # CMP densifier for 'sparse' flow mode (test_utils.py:27-82 metric set)
+    lpips_fn = fid_fn = fvd_fn = densify_fn = None
+    if args.aux_checkpoint_dir:
+        from diffcodec_tpu.codec.runner import make_cmp_densifier
+        from diffcodec_tpu.eval.frechet import make_i3d_feature_fn
+        from diffcodec_tpu.eval.inception import make_fid64_feature_fn
+        from diffcodec_tpu.models.cmp import CMP
+        from diffcodec_tpu.models.weights import load_aux_checkpoints
+        from diffcodec_tpu.train.lpips import LPIPS
+
+        aux = load_aux_checkpoints(args.aux_checkpoint_dir, strict=False)
+        if "lpips" in aux:
+            lp = LPIPS()
+            lp_apply = jax.jit(lambda a, b: lp.apply(aux["lpips"], a, b))
+            lpips_fn = lambda q, o: lp_apply(jnp.asarray(q, jnp.float32),
+                                             jnp.asarray(o, jnp.float32))
+        if "inception" in aux:
+            fid_fn = make_fid64_feature_fn(aux["inception"])
+        if "i3d" in aux:
+            fvd_fn = make_i3d_feature_fn(aux["i3d"])
+        if "cmp" in aux:
+            densify_fn = make_cmp_densifier(CMP(), aux["cmp"])
+        print(f"aux checkpoints loaded: {sorted(aux)}")
 
     def get_params(H, W):
         if (H, W) not in params_cache:
             z = jnp.zeros
             k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
             L, D = 77, unet_cfg.cross_attention_dim
-            params_cache[(H, W)] = ({
+            params = {
                 "unet": pipe.unet.init(k1, z((1, H // 8, W // 8, 4)),
                                        z((1,), jnp.int32), z((1, L, D))),
                 "controlnet": pipe.controlnet.init(
                     k2, z((1, H // 8, W // 8, 4)), z((1,), jnp.int32),
                     z((1, L, D)), z((1, H, W, 6)), z((1, H, W, 4))),
                 "vae": pipe.vae.init(k3, z((1, 64, 64, 3))),
-            }, z((1, L, D)))
+            }
+            params.update({k: v for k, v in loaded_sd.items()
+                           if k in params})
+            if prompt_embeds is not None:
+                text = jnp.asarray(prompt_embeds[0])
+            else:
+                text = z((1, L, D))
+            params_cache[(H, W)] = (params, text)
         return params_cache[(H, W)]
 
     bpp_results, inter_bpp, metrics_out = {}, {}, {}
@@ -115,19 +197,28 @@ def main(argv=None):
                 inter_bpp[g][video][mode] = enc.meta["bpp"]["flow"]
 
                 params, text = get_params(H, W)
+                uncond = (jnp.asarray(prompt_embeds[1])
+                          if prompt_embeds is not None else text)
 
                 def sample_fn(cond, flow):
                     B = cond.shape[0]
                     t = jnp.broadcast_to(text, (B,) + text.shape[1:])
-                    return pipe.sample(params, jax.random.PRNGKey(0), t, t,
+                    u = jnp.broadcast_to(uncond, (B,) + uncond.shape[1:])
+                    return pipe.sample(params, jax.random.PRNGKey(0), t, u,
                                        jnp.asarray(cond), jnp.asarray(flow))
 
-                decoded = decode_video(enc, sample_fn)
+                decoded = decode_video(enc, sample_fn,
+                                       densify_fn=densify_fn)
                 inter_idx = [i for i in range(N) if i % gop != 0]
+                # I3D's temporal receptive field needs a real clip length
+                gates = dict(lpips_fn=lpips_fn, fid_fn=fid_fn,
+                             fvd_fn=fvd_fn if N >= 16 else None)
                 metrics_out[g][video][mode] = {
-                    "all": calculate_metrics_batch(frames, decoded),
+                    "all": calculate_metrics_batch(frames, decoded,
+                                                   **gates),
                     "inter": calculate_metrics_batch(frames[inter_idx],
-                                                     decoded[inter_idx]),
+                                                     decoded[inter_idx],
+                                                     **gates),
                 }
                 print(f"{video} {tag}: bpp={enc.meta['bpp']['total']:.5f} "
                       f"psnr={metrics_out[g][video][mode]['all']['psnr']:.2f}")

@@ -99,3 +99,98 @@ def test_decode_cli_with_checkpoint_dir(tiny_checkpoint_dir, tmp_path):
     assert len(decoded) == 4
     main(["eval", "--orig", str(frames_dir), "--pred", dec_dir,
           "--gop", "2"])
+
+
+@pytest.fixture(scope="module")
+def aux_checkpoint_dir(tmp_path_factory):
+    from diffcodec_tpu.models.weights import synthesize_aux_checkpoints
+
+    out = str(tmp_path_factory.mktemp("aux_ckpt"))
+    synthesize_aux_checkpoints(out)
+    return out
+
+
+def test_aux_checkpoints_load_and_forward(aux_checkpoint_dir):
+    """Every net the RD sweep's metric/codec gate needs loads from its
+    torch-layout file and runs forward: LPIPS, I3D (FVD), InceptionV3-64
+    (FID), CMP (sparse-flow densifier).  Converter numerics are covered by
+    tests/test_torch_parity.py + tests/test_metric_oracles.py; this drills
+    the file layout and apply plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.eval.frechet import make_i3d_feature_fn
+    from diffcodec_tpu.eval.inception import make_fid64_feature_fn
+    from diffcodec_tpu.models.cmp import CMP
+    from diffcodec_tpu.models.i3d import InceptionI3D
+    from diffcodec_tpu.models.weights import load_aux_checkpoints
+    from diffcodec_tpu.train.lpips import LPIPS
+
+    aux = load_aux_checkpoints(aux_checkpoint_dir)
+    assert set(aux) == {"lpips", "i3d", "cmp", "inception"}
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((2, 64, 64, 3), np.float32) * 2 - 1)
+    b = jnp.asarray(rng.random((2, 64, 64, 3), np.float32) * 2 - 1)
+    lp = np.asarray(LPIPS().apply(aux["lpips"], a, b))
+    assert lp.shape[0] == 2 and np.isfinite(lp).all()
+
+    vids = rng.random((1, 16, 64, 64, 3), np.float32)
+    feats = make_i3d_feature_fn(aux["i3d"])(vids)
+    assert feats.shape[0] == 1 and np.isfinite(feats).all()
+
+    imgs = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    f = make_fid64_feature_fn(aux["inception"], batch_size=3)(imgs)
+    assert f.shape == (3, 64) and np.isfinite(f).all()
+
+    img = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    sp = jnp.asarray(rng.random((1, 64, 64, 4), np.float32))
+    dense = np.asarray(CMP().apply(aux["cmp"], img, sp))
+    assert dense.shape == (1, 64, 64, 2) and np.isfinite(dense).all()
+
+
+def test_load_aux_checkpoints_partial(aux_checkpoint_dir, tmp_path):
+    """strict=False skips absent nets (a partial aux set still enables the
+    metrics it covers)."""
+    import shutil
+
+    from diffcodec_tpu.models.weights import load_aux_checkpoints
+
+    partial = tmp_path / "partial"
+    shutil.copytree(os.path.join(aux_checkpoint_dir, "lpips"),
+                    partial / "lpips")
+    aux = load_aux_checkpoints(str(partial), strict=False)
+    assert set(aux) == {"lpips"}
+    with pytest.raises(FileNotFoundError):
+        load_aux_checkpoints(str(partial), strict=True)
+
+
+@pytest.mark.slow
+def test_rd_sweep_full_gate(tiny_checkpoint_dir, aux_checkpoint_dir,
+                            tmp_path):
+    """rd_sweep runs the COMPLETE gate set from on-disk torch files: SD
+    stack + prompt encoding via --sd_checkpoint_dir, LPIPS/FID metrics and
+    the CMP densifier via --aux_checkpoint_dir (FVD is exercised separately
+    above; 4-frame clips are shorter than I3D's temporal receptive field)."""
+    from PIL import Image
+
+    from scripts.rd_sweep import main as sweep_main
+
+    sd_dir, _ = tiny_checkpoint_dir
+    rng = np.random.default_rng(0)
+    root = tmp_path / "dataset" / "vid0" / "frames"
+    root.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                        ).save(root / f"frame_{i:04d}.png")
+
+    out = str(tmp_path / "sweep_out")
+    sweep_main(["--dataset_root", str(tmp_path / "dataset"), "--out", out,
+                "--gops", "2", "--modes", "none", "--steps", "2", "--tiny",
+                "--sd_checkpoint_dir", sd_dir,
+                "--aux_checkpoint_dir", aux_checkpoint_dir])
+    with open(os.path.join(out, "metric_results.json")) as f:
+        res = json.load(f)
+    m = res["2"]["vid0"]["none"]["all"]
+    assert {"psnr", "ms_ssim", "lpips", "fid"} <= set(m)
+    assert all(np.isfinite(v) for v in m.values())
