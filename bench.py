@@ -2,7 +2,23 @@
 
 Runs the flagship decode path — SD-1.5-scale DualFlowControlNet + UNet,
 512x512 conditioning, 30-step UniPC with CFG, VAE decode — and reports
-steady-state frames/sec.
+steady-state frames/sec for the full operating-point matrix:
+
+  * exact           — bit-exact reference semantics (every step recomputes
+                      ControlNet and the UNet down path, matching
+                      /root/reference/pipeline.py:341-350).  ALWAYS the
+                      first line printed.
+  * cnint2/cnint3   — opt-in ControlNet residual caching every k-th step
+                      (SamplerConfig.controlnet_interval).
+  * encint2         — opt-in UNet encoder propagation (Faster-Diffusion,
+                      PAPERS.md; SamplerConfig.unet_encoder_interval).
+  * cnint3_encint3  — both caches combined at interval 3.
+  * 1080p tiled     — full-HD overlap-tiled decode (512px tiles/overlap 64,
+                      patch_utils parity), exact and combined-cache modes.
+
+Approximation quality cost for the cached modes is quantified in
+artifacts/approx_drift.json (scripts/approx_drift.py): exact-vs-cached
+latent MSE / pixel PSNR at fixed seed.
 
 Baseline: the reference PyTorch GPU pipeline has no published throughput
 (SURVEY.md section 6); BASELINE.json's north star is >=10x the PyTorch
@@ -11,10 +27,13 @@ this operating point (30 UniPC steps x CFG x (ControlNet+UNet) at 512px,
 extractor recomputed per step as the reference does), so
 vs_baseline = fps / 0.25.  Derivation: 69.0 TFLOPs/frame measured via XLA
 cost analysis (scripts/flops_report.py) at an assumed 5.5% effective A100
-MFU -- see BASELINE.md "Throughput baseline derivation" for the full
+MFU — see BASELINE.md "Throughput baseline derivation" for the full
 arithmetic and the 0.25-0.40 fps plausibility band.
 
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: one JSON line per operating point, exact mode first.
+Env knobs: BENCH_SMALL=1 (tiny wiring check), BENCH_BATCH=n (GOP batch),
+BENCH_POINTS=exact,cnint3 (filter the matrix), BENCH_1080=0 (skip the
+tiled full-HD points).
 """
 
 import json
@@ -28,6 +47,7 @@ from diffcodec_tpu.utils.jax_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +61,57 @@ from diffcodec_tpu.sampling.schedulers import NoiseSchedule
 
 BASELINE_FPS = 0.25  # estimated reference PyTorch pipeline, see docstring
 
+# (suffix, controlnet_interval, unet_encoder_interval); exact MUST be first
+POINTS = [
+    ("exact", 1, 1),
+    ("cnint2", 2, 1),
+    ("cnint3", 3, 1),
+    ("encint2", 1, 2),
+    ("cnint3_encint3", 3, 3),
+]
+
+
+def emit(name, fps, extra=None):
+    rec = {"metric": name, "value": round(fps, 4),
+           "unit": "frames/sec/chip",
+           "vs_baseline": round(fps / BASELINE_FPS, 3)}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def build(small, dtype=jnp.bfloat16):
+    unet_cfg = UNetConfig() if not small else UNetConfig.tiny()
+    cn_cfg = (ControlNetConfig(unet=unet_cfg) if not small
+              else ControlNetConfig.tiny())
+    vae_cfg = VAEConfig()
+    unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
+    controlnet = DualFlowControlNet(cn_cfg, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    return unet_cfg, unet, controlnet, vae, schedule
+
+
+def init_params(unet_cfg, unet, controlnet, vae, H, dtype):
+    h = H // 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    L, D = 77, unet_cfg.cross_attention_dim
+    sample = jnp.zeros((1, h, h, 4), dtype)
+    t0 = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, L, D), dtype)
+    params = {
+        "controlnet": controlnet.init(k1, sample, t0, ctx,
+                                      jnp.zeros((1, H, H, 6), dtype),
+                                      jnp.zeros((1, H, H, 4), dtype)),
+        "unet": unet.init(k2, sample, t0, ctx),
+        "vae": vae.init(k3, jnp.zeros((1, 64, 64, 3), dtype)),
+    }
+    # frozen weights live on device in the compute dtype (the reference
+    # casts the frozen stack to weight_dtype, train_controlnet.py:984-993);
+    # keeps 2.5 GB of HBM free for multi-GOP batches
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
@@ -51,48 +122,20 @@ def main():
     H = 128 if small else 512
     steps = 5 if small else 30
     dtype = jnp.bfloat16
+    want = os.environ.get("BENCH_POINTS")
+    points = POINTS if not want else [
+        p for p in POINTS if p[0] in want.split(",")]
+    # legacy single-point knobs (round-2 CLI compat)
+    if "BENCH_CN_INTERVAL" in os.environ or "BENCH_ENC_INTERVAL" in os.environ:
+        ci = int(os.environ.get("BENCH_CN_INTERVAL", "1"))
+        ei = int(os.environ.get("BENCH_ENC_INTERVAL", "1"))
+        points = [(f"cnint{ci}_encint{ei}" if (ci > 1 or ei > 1) else "exact",
+                   ci, ei)]
 
-    unet_cfg = UNetConfig() if not small else UNetConfig.tiny()
-    cn_cfg = ControlNetConfig(unet=unet_cfg) if not small else \
-        ControlNetConfig.tiny()
-    vae_cfg = VAEConfig()
-    unet = UNet2DConditionModel(unet_cfg, dtype=dtype)
-    controlnet = DualFlowControlNet(cn_cfg, dtype=dtype)
-    vae = AutoencoderKL(vae_cfg, dtype=dtype)
-    schedule = NoiseSchedule.create(SchedulerConfig())
-    # opt-in approximate modes (quality-affecting; default exact):
-    # BENCH_CN_INTERVAL=k caches ControlNet residuals for k-1 steps,
-    # BENCH_ENC_INTERVAL=k caches the UNet down path for k-1 steps.
-    cn_interval = int(os.environ.get("BENCH_CN_INTERVAL", "1"))
-    enc_interval = int(os.environ.get("BENCH_ENC_INTERVAL", "1"))
-    pipe = DualFlowPipeline(
-        unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
-        sampler=SamplerConfig(num_inference_steps=steps, guidance_scale=3.5,
-                              controlnet_conditioning_scale=1.35,
-                              controlnet_interval=cn_interval,
-                              unet_encoder_interval=enc_interval,
-                              freeu=True))
+    unet_cfg, unet, controlnet, vae, schedule = build(small, dtype)
+    params = init_params(unet_cfg, unet, controlnet, vae, H, dtype)
 
-    h = H // 8
-    rng = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(rng, 3)
     L, D = 77, unet_cfg.cross_attention_dim
-    sample = jnp.zeros((B, h, h, 4), dtype)
-    t0 = jnp.zeros((B,), jnp.int32)
-    ctx = jnp.zeros((B, L, D), dtype)
-    cond = jnp.zeros((B, H, H, 6), dtype)
-    flow = jnp.zeros((B, H, H, 4), dtype)
-    params = {
-        "controlnet": controlnet.init(k1, sample, t0, ctx, cond, flow),
-        "unet": unet.init(k2, sample, t0, ctx),
-        "vae": vae.init(k3, jnp.zeros((1, 64, 64, 3), dtype)),
-    }
-    # frozen weights live on device in the compute dtype (the reference
-    # casts the frozen stack to weight_dtype, train_controlnet.py:984-993);
-    # keeps 2.5 GB of HBM free for multi-GOP batches
-    params = jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
-
     text = jax.random.normal(jax.random.PRNGKey(1), (B, L, D), dtype) * 0.02
     uncond = jnp.zeros((B, L, D), dtype)
     cond = jax.random.uniform(jax.random.PRNGKey(2), (B, H, H, 6),
@@ -100,36 +143,69 @@ def main():
     flow = (jax.random.normal(jax.random.PRNGKey(3), (B, H, H, 4)) *
             4.0).astype(dtype)
 
-    sample_fn = jax.jit(pipe.sample)
-    t_start = time.time()
-    out = sample_fn(params, jax.random.PRNGKey(10), text, uncond, cond, flow)
-    out.block_until_ready()
-    compile_and_first = time.time() - t_start
-
-    times = []
-    for i in range(3):
-        t1 = time.time()
-        out = sample_fn(params, jax.random.PRNGKey(11 + i), text, uncond,
-                        cond, flow)
-        out.block_until_ready()
-        times.append(time.time() - t1)
-    best = min(times)
-    fps = B / best
-    name = ("decoded_frames_per_sec_512px_30step_unipc_cfg"
+    base = ("decoded_frames_per_sec_512px_30step_unipc_cfg"
             if not small else "decoded_frames_per_sec_small")
-    if cn_interval > 1:
-        name += f"_cnint{cn_interval}"
-    if enc_interval > 1:
-        name += f"_encint{enc_interval}"
-    print(json.dumps({
-        "metric": name,
-        "value": round(fps, 4),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
-    print(f"# first(compile+run)={compile_and_first:.1f}s "
-          f"steady={best:.3f}s/batch batch={B} times={times}",
-          file=sys.stderr)
+    pipes = {}
+    for suffix, ci, ei in points:
+        pipe = DualFlowPipeline(
+            unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+            sampler=SamplerConfig(num_inference_steps=steps,
+                                  guidance_scale=3.5,
+                                  controlnet_conditioning_scale=1.35,
+                                  controlnet_interval=ci,
+                                  unet_encoder_interval=ei,
+                                  freeu=True))
+        pipes[suffix] = pipe
+        sample_fn = pipe.jit_sample()
+        t_start = time.time()
+        out = sample_fn(params, jax.random.PRNGKey(10), text, uncond, cond,
+                        flow)
+        out.block_until_ready()
+        compile_and_first = time.time() - t_start
+        times = []
+        for i in range(3 if suffix == "exact" else 2):
+            t1 = time.time()
+            out = sample_fn(params, jax.random.PRNGKey(11 + i), text, uncond,
+                            cond, flow)
+            out.block_until_ready()
+            times.append(time.time() - t1)
+        best = min(times)
+        fps = B / best
+        emit(base if suffix == "exact" else f"{base}_{suffix}", fps)
+        print(f"# {suffix}: first(compile+run)={compile_and_first:.1f}s "
+              f"steady={best:.3f}s/batch batch={B} times={times}",
+              file=sys.stderr)
+
+    if small or os.environ.get("BENCH_1080") == "0":
+        return
+    # full-HD tiled operating points (patch_utils parity path): one 1080p
+    # frame = 15 overlapping 512px tiles; tile_batch=B reuses the compiled
+    # batch-B program from the matrix above where tile counts allow.
+    from diffcodec_tpu.sampling.tiled import sample_tiled
+    H2, W2 = 1080, 1920
+    rng = np.random.default_rng(0)
+    cond_hd = rng.random((1, H2, W2, 6), dtype=np.float32)
+    flow_hd = np.zeros((1, H2, W2, 4), np.float32)
+    text_hd = np.asarray(text[:1], np.float32)
+    for suffix in ("exact", "cnint3_encint3"):
+        if suffix not in pipes:
+            continue
+        pipe = pipes[suffix]
+        t0 = time.time()
+        sample_tiled(pipe, params, jax.random.PRNGKey(5), text_hd, text_hd,
+                     cond_hd, flow_hd, tile=(512, 512), overlap=64,
+                     tile_batch=8)
+        first = time.time() - t0
+        t0 = time.time()
+        sample_tiled(pipe, params, jax.random.PRNGKey(6), text_hd, text_hd,
+                     cond_hd, flow_hd, tile=(512, 512), overlap=64,
+                     tile_batch=8)
+        dt = time.time() - t0
+        name = "decoded_frames_per_sec_1080p_tiled_30step"
+        emit(name if suffix == "exact" else f"{name}_{suffix}", 1.0 / dt,
+             extra={"seconds_per_frame": round(dt, 2)})
+        print(f"# 1080p {suffix}: first(compile+run)={first:.1f}s "
+              f"steady={dt:.1f}s/frame", file=sys.stderr)
 
 
 if __name__ == "__main__":

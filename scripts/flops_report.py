@@ -94,6 +94,35 @@ def main():
     ours_per_frame = (STEPS * CFG * (f_cn - f_ext + f_unet) + f_vae_dec +
                       CFG * f_ext)
 
+    # ---- train step (grounds scripts/bench_train.py's samples/s) ----
+    # FLOPs measured from XLA's cost analysis of the REAL jitted train
+    # step: VAE encode, ControlNet fwd+bwd (param+data grads), frozen UNet
+    # fwd + data-grad bwd (weight grads DCE'd away since UNet params are
+    # not differentiated), Adam update.  Reference step:
+    # train_controlnet.py:1040-1105 (same op set, torch autograd).
+    from diffcodec_tpu.config import SchedulerConfig, TrainConfig
+    from diffcodec_tpu.sampling.schedulers import NoiseSchedule
+    from diffcodec_tpu.train.trainer import (ControlNetTrainer, TrainState,
+                                             make_optimizer)
+    tcfg = TrainConfig(learning_rate=1e-5, lr_warmup_steps=0,
+                       max_train_steps=10)
+    trainer = ControlNetTrainer(unet=unet, controlnet=controlnet, vae=vae,
+                                schedule=NoiseSchedule.create(
+                                    SchedulerConfig()), config=tcfg)
+    state = TrainState.create(p_cn, make_optimizer(tcfg))
+    frozen = {"unet": p_unet, "vae": p_vae}
+    batch = {"image": jnp.zeros((B, H, H, 3), dtype),
+             "cond": cond, "flow": flow,
+             "text_embeds": jnp.zeros((B, L, D), dtype)}
+    f_train = flops_of(trainer.train_step, state, frozen, batch,
+                       jax.random.PRNGKey(0))
+
+    # measured on v5e (scripts/bench_train.py): 508 ms/step at batch 4
+    v5e_step_s, v5e_batch = 0.508, 4
+    v5e_flops_per_s = v5e_batch * f_train / v5e_step_s
+    V5E_SPEC_PEAK = 197e12      # bf16 spec peak
+    V5E_SUSTAINED = 152e12      # measured sustained matmul (BASELINE.md)
+
     report = {
         "gflops": {
             "extractor_512px": round(f_ext / 1e9, 1),
@@ -109,6 +138,24 @@ def main():
             f"mfu_{int(mfu * 100)}pct": round(
                 A100_BF16_PEAK * mfu / ref_per_frame, 3)
             for mfu in (0.075, 0.15, 0.25)
+        },
+        "train": {
+            "step_tflops_per_sample": round(f_train / 1e12, 3),
+            "v5e_measured": {
+                "ms_per_step": v5e_step_s * 1e3, "batch": v5e_batch,
+                "samples_per_s_chip": round(v5e_batch / v5e_step_s, 2),
+                "mfu_vs_spec_197tf": round(v5e_flops_per_s / V5E_SPEC_PEAK,
+                                           3),
+                "mfu_vs_sustained_152tf": round(
+                    v5e_flops_per_s / V5E_SUSTAINED, 3),
+            },
+            # reference trains this step on A100s (train_control.sh:3);
+            # band of plausible torch-DDP MFUs for SD-ControlNet training
+            "a100_samples_per_s_estimate": {
+                f"mfu_{int(mfu * 100)}pct": round(
+                    A100_BF16_PEAK * mfu / f_train, 2)
+                for mfu in (0.15, 0.25, 0.35)
+            },
         },
         "operating_point": {"px": H, "steps": STEPS, "cfg": CFG},
     }
