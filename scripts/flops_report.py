@@ -20,7 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# default: CPU cost analysis.  FLOPS_BACKEND=tpu keeps the default (axon)
+# backend so the heavyweight graphs (the fwd+bwd train step) compile on
+# the remote TPU toolchain instead of this one-core host — XLA's
+# cost_analysis flop counts are properties of the optimized HLO and agree
+# across backends to well under 1%.
+if os.environ.get("FLOPS_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 

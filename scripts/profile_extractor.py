@@ -53,15 +53,26 @@ def main():
     report = {"batch": B, "height": H, "ms": {}}
 
     def time_ms(name, fn, out_to_in, *xs, rep=8):
+        # rep beats the ~30 ms per-call tunnel round-trip floor: resolution
+        # is ~30/rep ms, so small ops use large rep
         ms = chained_time(fn, out_to_in, *xs, rep=rep) * 1e3
         report["ms"][name] = round(ms, 2)
-        print(f"{name}: {ms:.2f} ms", flush=True)
+        print(f"{name}: {ms:.2f} ms (rep={rep})", flush=True)
 
-    # whole module (the profile_decode number, at frame batch)
-    time_ms("extractor_total",
-            lambda p, c, f: ext.apply(p, c, f)[-1],
-            lambda out, a: (a[0], a[1] + 0 * out.mean(), a[2]),
-            params, cond, flow)
+    # non-elidable feedback everywhere below (NOT `0 * out`, which the
+    # algebraic simplifier folds away — see profile_decode.renorm)
+    # whole module (at the pipeline's true hoisted batch: the pyramid is
+    # extracted at frame batch B and duplicated for CFG afterwards)
+    def ext_all(p, c, f):
+        # a scalar touching EVERY pyramid level — returning a single level
+        # lets XLA dead-code-eliminate the other scales' splat paths
+        outs = ext.apply(p, c, f)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+    time_ms("extractor_total", ext_all,
+            lambda out, a: (a[0], a[1] + (out * 1e-12).astype(a[1].dtype),
+                            a[2]),
+            params, cond, flow, rep=16)
 
     # splat family: the warper splats at each scale (both directions
     # batched = 2B), learned metric soft mode, fp32 islands
@@ -77,7 +88,7 @@ def main():
         time_ms(f"warper_splat_s{idx}_{res}px_{half}ch",
                 lambda v, f, m: softsplat(v, f, m, "soft"),
                 lambda out, a: (out, a[1], a[2]),
-                feats, fl, metric)
+                feats, fl, metric, rep=64)
 
     # occlusion masks at each scale (batch 2B like the module: both
     # directions in one launch)
@@ -88,8 +99,9 @@ def main():
         b2 = -f2 + 0.1
         time_ms(f"occlusion_s{idx}_{res}px",
                 lambda a_, b_: compute_occlusion_mask(a_, b_),
-                lambda out, a: (a[0] + 0 * out.mean(), a[1]),
-                f2, b2)
+                lambda out, a: (a[0] + (jnp.sum(out.astype(jnp.float32)) *
+                                        1e-12).astype(a[0].dtype), a[1]),
+                f2, b2, rep=64)
 
     # flow resizes (full res -> each scale, both directions)
     def all_resizes(fl4):
@@ -102,8 +114,9 @@ def main():
 
     time_ms("flow_resizes_all_scales",
             lambda f: all_resizes(f),
-            lambda out, a: (a[0] + 0 * out,),
-            flow.astype(jnp.float32))
+            lambda out, a: (a[0] + (out.astype(jnp.float32) *
+                                    1e-12).astype(a[0].dtype),),
+            flow.astype(jnp.float32), rep=64)
 
     # conv family: the pre-extractor + per-scale feature convs, exactly the
     # module minus splats/occlusion/fuse — measured via a second module
