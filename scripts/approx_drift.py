@@ -33,6 +33,7 @@ from diffcodec_tpu.utils.jax_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +56,17 @@ def main():
 
     unet_cfg, unet, controlnet, vae, schedule = build(small, dtype)
     params = init_params(unet_cfg, unet, controlnet, vae, H, dtype)
+    # re-randomize every leaf: flax init zeroes the ControlNet's zero-convs,
+    # which makes the injected residuals 0 for every timestep — caching a
+    # constant is numerically a no-op and the drift reads as pure bf16
+    # program-structure noise.  Non-zero weights make the residuals (and
+    # the UNet encoder features) actually vary with t, which is what the
+    # caching approximates away.
+    leaves, treedef = jax.tree.flatten(params)
+    rng_np = np.random.default_rng(0)
+    leaves = [jnp.asarray(rng_np.standard_normal(x.shape) * 0.02, x.dtype)
+              for x in leaves]
+    params = jax.tree.unflatten(treedef, leaves)
     L, D = 77, unet_cfg.cross_attention_dim
     text = jax.random.normal(jax.random.PRNGKey(1), (B, L, D), dtype) * 0.02
     uncond = jnp.zeros((B, L, D), dtype)
@@ -82,7 +94,23 @@ def main():
             return final, jnp.clip(img, -1.0, 1.0)
 
         t0 = time.time()
-        lat, img = jax.jit(f)(params, latents0, text, uncond, cond, flow)
+        last = None
+        for attempt in range(3):
+            # the remote compile helper occasionally drops the transport
+            # mid-compile; retrying restarts the compile (cache-warm)
+            try:
+                lat, img = jax.jit(f)(params, latents0, text, uncond, cond,
+                                      flow)
+                break
+            except Exception as e:
+                last = e
+                if "remote_compile" not in str(e):
+                    raise
+                print(f"compile transport error (attempt {attempt + 1}), "
+                      f"retrying: {e}", file=sys.stderr, flush=True)
+                time.sleep(20)
+        else:
+            raise last
         lat = jnp.asarray(lat, jnp.float32)
         img = jnp.asarray(img, jnp.float32)
         lat.block_until_ready()
@@ -119,6 +147,14 @@ def main():
             "latent_rel_rms": "RMS latent error / RMS exact latent",
             "pixel_psnr_db": "PSNR of decoded output vs exact, [0,1] range",
         },
+        "interpretation": (
+            "at this weight draw every cached mode's latent drift is "
+            "1e-4..5e-4 relative RMS — below the bf16 output quantization "
+            "(pixel deltas cap at one ulp, 2^-12, so PSNR saturates at "
+            "~89 dB, the bf16 floor).  The bound is mechanical, not an RD "
+            "statement: residual/encoder smoothness across timesteps is "
+            "weight-dependent, so rerun this script when pretrained "
+            "weights land (scripts/approx_drift.py, fixed seeds)."),
         "modes": results,
     }
     path = os.path.join(ROOT, "artifacts", "approx_drift.json")
