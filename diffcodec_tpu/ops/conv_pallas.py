@@ -151,14 +151,18 @@ def fused_silu_conv_enabled() -> bool:
 
 
 def _shape_qualifies(x, out_features: int) -> bool:
-    """The measured win window: big spatial extent, small channel counts
-    (the regime where XLA's conv lowering is copy-bound).  At larger
-    channel counts XLA reaches 84 TF/s (artifacts/profile_vae.json) and
-    would beat this kernel — stay out of its way."""
+    """The measured win window: big spatial extent (>=256px), the regime
+    where XLA's conv lowering is copy-bound.  Measured on v5e at batch 7
+    (bf16, vs XLA silu+conv):
+      512x512 128->128: 52 vs 43 TF/s     512x512 256->128: 63 vs 48
+      256x256 256->256: 67 vs 56          256x256 512->256: 85 vs 68
+    At small spatial extents (the 128px/512ch stages run 84 TF/s under
+    XLA, artifacts/profile_vae.json) the halo DMA overhead dominates —
+    stay out of XLA's way there."""
     B, H, W, C = x.shape
     return (x.dtype == jnp.bfloat16 and H % 8 == 0 and W % 8 == 0
-            and H * W >= 256 * 256 and 64 <= C <= 128
-            and 64 <= out_features <= 128)
+            and H * W >= 256 * 256 and 64 <= C <= 512
+            and 64 <= out_features <= 256)
 
 
 def silu_conv3x3(x, kernel, bias, dtype=None):

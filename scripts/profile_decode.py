@@ -135,8 +135,13 @@ def main():
 
     # components -------------------------------------------------------
     def extractor_fn(p, c, f):
-        return cn.apply(p, method=cn.extract_pyramid,
-                        controlnet_cond=c, flow_cond=f)[0]
+        # sum over EVERY pyramid level: returning one level lets XLA
+        # dead-code-eliminate the other scales' splat paths (the round-2
+        # 86 ms figure came from a variant of that trap; see
+        # scripts/profile_extractor.py for the standalone op breakdown)
+        outs = cn.apply(p, method=cn.extract_pyramid,
+                        controlnet_cond=c, flow_cond=f)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
 
     pyramid = jax.jit(lambda p, c, f: cn.apply(
         p, method=cn.extract_pyramid, controlnet_cond=c, flow_cond=f))(
@@ -179,15 +184,13 @@ def main():
         s = (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(x.dtype)
         return a[:-1] + (x + s,)
 
-    # extractor (runs once per frame batch — hoisted out of the loop)
+    # extractor (runs once per frame batch — hoisted out of the loop; the
+    # pipeline extracts at frame batch B and duplicates for CFG after)
     if want("extractor"):
-        t_ext = chained_time(
-            extractor_fn, renorm, p_cn,
-            jnp.concatenate([cond, cond]), jnp.concatenate([flow, flow]),
-            rep=4)
-        f_ext = flops_of(extractor_fn, p_cn, jnp.concatenate([cond, cond]),
-                         jnp.concatenate([flow, flow]))
-        rows["extractor_cfg_batch"] = (t_ext, f_ext)
+        t_ext = chained_time(extractor_fn, renorm, p_cn, cond, flow,
+                             rep=16)
+        f_ext = flops_of(extractor_fn, p_cn, cond, flow)
+        rows["extractor_batch"] = (t_ext, f_ext)
 
     # controlnet trunk (per denoise step)
     if want("trunk"):
@@ -206,11 +209,18 @@ def main():
         f_full = flops_of(unet_fn, (p_cn, p_unet), pyramid, sample)
         rows["trunk_plus_unet_step"] = (t_full, f_full)
 
-    # vae decode (once per frame batch)
+    # vae decode (once per frame batch), XLA path and the opt-in fused
+    # SiLU+conv3x3 Pallas path (ops/conv_pallas.py)
     if want("vae"):
         t_vae = chained_time(vae_fn, renorm, p_vae, latents, rep=4)
         f_vae = flops_of(vae_fn, p_vae, latents)
         rows["vae_decode_batch"] = (t_vae, f_vae)
+    if want("vae_fused"):
+        os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
+        t_vf = chained_time(vae_fn, renorm, p_vae, latents, rep=4)
+        rows["vae_decode_batch_fusedconv"] = (
+            t_vf, flops_of(vae_fn, p_vae, latents))
+        os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "0"
 
     # merge with any prior partial runs of other components
     per_component = {}
@@ -235,10 +245,10 @@ def main():
     }
     steps = 30
     have = per_component
-    if ("trunk_plus_unet_step" in have and "extractor_cfg_batch" in have
+    if ("trunk_plus_unet_step" in have and "extractor_batch" in have
             and "vae_decode_batch" in have):
         est_total = (steps * have["trunk_plus_unet_step"]["ms"]
-                     + have["extractor_cfg_batch"]["ms"]
+                     + have["extractor_batch"]["ms"]
                      + have["vae_decode_batch"]["ms"]) / 1e3
         report["estimated_batch_seconds_30steps"] = round(est_total, 3)
         report["estimated_fps"] = round(B / est_total, 3)

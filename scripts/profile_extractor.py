@@ -69,9 +69,13 @@ def main():
         outs = ext.apply(p, c, f)
         return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
 
+    # feedback must perturb BOTH cond and flow: with flow loop-invariant,
+    # XLA hoists the occlusion masks, flow resizes, and splat geometry out
+    # of the chained loop and the number reads ~16x too low (an earlier
+    # revision of this script hit exactly that)
     time_ms("extractor_total", ext_all,
             lambda out, a: (a[0], a[1] + (out * 1e-12).astype(a[1].dtype),
-                            a[2]),
+                            a[2] + (out * 1e-12).astype(a[2].dtype)),
             params, cond, flow, rep=16)
 
     # splat family: the warper splats at each scale (both directions

@@ -64,10 +64,14 @@ def test_custom_vjp_matches_ref_grad(shapes):
 
 def test_dispatch_gate():
     z = jnp.zeros
-    # the measured win window: big spatial, <=128ch, bf16
+    # the measured win window: big spatial (>=256px), 64-512 in / 64-256
+    # out channels, bf16
     assert _shape_qualifies(z((7, 512, 512, 128), jnp.bfloat16), 128)
+    assert _shape_qualifies(z((7, 256, 256, 256), jnp.bfloat16), 256)
+    assert _shape_qualifies(z((7, 512, 512, 256), jnp.bfloat16), 128)
+    assert _shape_qualifies(z((7, 256, 256, 512), jnp.bfloat16), 256)
     assert not _shape_qualifies(z((7, 64, 64, 128), jnp.bfloat16), 128)
-    assert not _shape_qualifies(z((7, 512, 512, 256), jnp.bfloat16), 256)
+    assert not _shape_qualifies(z((7, 128, 128, 512), jnp.bfloat16), 512)
     assert not _shape_qualifies(z((7, 512, 512, 128), jnp.float32), 128)
     assert not _shape_qualifies(z((7, 512, 512, 128), jnp.bfloat16), 3)
 
