@@ -188,8 +188,9 @@ def main():
     if small or os.environ.get("BENCH_1080") == "0":
         return
     # full-HD tiled operating points (patch_utils parity path): one 1080p
-    # frame = 15 overlapping 512px tiles; tile_batch=B reuses the compiled
-    # batch-B program from the matrix above where tile counts allow.
+    # frame = 15 overlapping 512px tiles in 3 equal chunks of 5 (CFG batch
+    # 10 stays inside the measured HBM envelope; the exact pipe falls off
+    # a memory cliff at tile_batch 8 / CFG 16 — 85 s/chunk vs ~3.6 s).
     from diffcodec_tpu.sampling.tiled import sample_tiled
     H2, W2 = 1080, 1920
     rng = np.random.default_rng(0)
@@ -206,12 +207,12 @@ def main():
         t0 = time.time()
         sample_tiled(pipe, params, jax.random.PRNGKey(5), text_hd, text_hd,
                      cond_hd, flow_hd, tile=(512, 512), overlap=64,
-                     tile_batch=8)
+                     tile_batch=5)
         first = time.time() - t0
         t0 = time.time()
         sample_tiled(pipe, params, jax.random.PRNGKey(6), text_hd, text_hd,
                      cond_hd, flow_hd, tile=(512, 512), overlap=64,
-                     tile_batch=8)
+                     tile_batch=5)
         dt = time.time() - t0
         name = "decoded_frames_per_sec_1080p_tiled_30step"
         emit(name if suffix == "exact" else f"{name}_{suffix}", 1.0 / dt,

@@ -32,7 +32,11 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--tile_batch", type=int, default=8)
+    # 5 tiles/chunk: 15-tile 1080p frames split into 3 equal chunks, and
+    # CFG batch 10 stays inside the measured HBM envelope — the exact pipe
+    # falls off a memory cliff at tile_batch 8 (CFG 16): 85 s/chunk vs
+    # ~3.6 s at 5
+    ap.add_argument("--tile_batch", type=int, default=5)
     ap.add_argument("--out", default="artifacts/profile_tiled.json")
     args = ap.parse_args()
 
