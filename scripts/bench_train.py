@@ -2,7 +2,12 @@
 
 Times the full DualFlowControlNet training step (VAE encode, frozen-UNet
 forward, ControlNet forward/backward, Adam update) at 512px on one chip.
-Measured 2026-08-17 on v5e: 508 ms/step at batch 4 = 7.9 samples/s/chip.
+Measured 2026-08-18 on v5e: 501 ms/step at batch 4 = 8.0 samples/s/chip;
+471 ms (8.5 samples/s, +6%) with DIFFCODEC_FUSED_SILU_CONV=1 (the fused
+kernel applies to the VAE-encode/ControlNet resnet stages; its custom_vjp
+keeps the backward on the XLA reference gradient — losses agree to bf16
+rounding).  FLOPs grounding: 3.93 TF/sample => 15.7% of spec peak; see
+BASELINE.md "Training throughput derivation".
 
 Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch)
 """

@@ -22,9 +22,10 @@ import jax
 
 # default: CPU cost analysis.  FLOPS_BACKEND=tpu keeps the default (axon)
 # backend so the heavyweight graphs (the fwd+bwd train step) compile on
-# the remote TPU toolchain instead of this one-core host — XLA's
-# cost_analysis flop counts are properties of the optimized HLO and agree
-# across backends to well under 1%.
+# the remote TPU toolchain instead of this one-core host.  Caveat: the
+# two backends' optimized HLO differs, so counts disagree by up to ~8%
+# (measured: UNet fwd 788 CPU vs 863 TPU GFLOPs, VAE decode 2504 vs 2221)
+# — treat cross-backend comparisons at that granularity.
 if os.environ.get("FLOPS_BACKEND", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
