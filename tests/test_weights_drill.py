@@ -193,4 +193,8 @@ def test_rd_sweep_full_gate(tiny_checkpoint_dir, aux_checkpoint_dir,
         res = json.load(f)
     m = res["2"]["vid0"]["none"]["all"]
     assert {"psnr", "ms_ssim", "lpips", "fid"} <= set(m)
-    assert all(np.isfinite(v) for v in m.values())
+    # ms_ssim is excluded: 5-level MS-SSIM with the 11px window needs
+    # >=176px inputs (pytorch_msssim semantics) and is degenerate at this
+    # toy 32px resolution; its numerics are oracle-tested at real sizes in
+    # tests/test_metric_oracles.py
+    assert all(np.isfinite(m[k]) for k in ("psnr", "lpips", "fid")), m
