@@ -185,6 +185,35 @@ def main():
               f"steady={best:.3f}s/batch batch={B} times={times}",
               file=sys.stderr)
 
+    if os.environ.get("BENCH_DISTILL") == "1":
+        # K-step consistency-student decode (train/distill.py).  Labelled
+        # "mechanism": with an untrained student this measures the speed of
+        # the K-step no-CFG sampler, not a validated quality point — the
+        # student must first be distilled (scripts/train_distill.py).
+        from diffcodec_tpu.config import DistillConfig
+        from diffcodec_tpu.sampling.distilled import DistilledPipeline
+        K = int(os.environ.get("BENCH_DISTILL_STEPS", "4"))
+        os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
+        dpipe = DistilledPipeline(
+            unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
+            config=DistillConfig(num_student_steps=K))
+        dfn = dpipe.jit_sample()
+        t0 = time.time()
+        dfn(params, jax.random.PRNGKey(20), text, cond,
+            flow).block_until_ready()
+        first = time.time() - t0
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            dfn(params, jax.random.PRNGKey(21 + i), text, cond,
+                flow).block_until_ready()
+            times.append(time.time() - t0)
+        emit(f"decoded_frames_per_sec_512px_distilled{K}step_mechanism"
+             if not small else f"{base}_distilled{K}step_mechanism",
+             B / min(times))
+        print(f"# distilled{K}step: first={first:.1f}s "
+              f"steady={min(times):.3f}s/batch batch={B}", file=sys.stderr)
+
     if small or os.environ.get("BENCH_1080") == "0":
         return
     # full-HD tiled operating points (patch_utils parity path): one 1080p

@@ -141,6 +141,35 @@ class TrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Consistency (step) distillation of the decoder — train/distill.py.
+
+    No reference counterpart (the reference always samples 30 UniPC steps
+    with CFG); the guidance/conditioning scales pin the SINGLE operating
+    point the student absorbs — set them to the codec's decode settings
+    (SamplerConfig defaults)."""
+    num_teacher_steps: int = 50
+    guidance_scale: float = 3.5
+    controlnet_conditioning_scale: float = 1.35
+    # consistency boundary parameterization (c_skip(0)=1 / c_out(0)=0)
+    sigma_data: float = 0.5
+    timestep_scaling: float = 10.0
+    ema_decay: float = 0.995
+    loss: str = "huber"  # 'huber' | 'l2'
+    huber_c: float = 0.001
+    # K-step decode schedule length used by sampling/distilled.py
+    num_student_steps: int = 4
+    # FreeU, matching SamplerConfig's deployment decode settings (the
+    # teacher IS the deployed decoder; the student trains and decodes
+    # with the same UNet scaling)
+    freeu: bool = True
+    freeu_s1: float = 0.9
+    freeu_s2: float = 0.2
+    freeu_b1: float = 1.2
+    freeu_b2: float = 1.4
+
+
+@dataclasses.dataclass(frozen=True)
 class CodecConfig:
     """GOP / rate-mode configuration (uvc_codec_eval.py:19-26 +
     calculate_storage_stats_UVC.py)."""

@@ -143,3 +143,25 @@ def test_export_checkpoint_cli(tmp_path):
     converted, missing, unused = convert_state_dict(
         sd, controlnet_name_map(cfg), template)
     assert not missing and not unused
+
+@pytest.mark.slow
+def test_distill_cli_smoke_and_resume(tmp_path):
+    """Consistency-distillation harness: tiny end-to-end run, checkpoint
+    rotation, and resume (train/distill.py; no reference counterpart)."""
+    import train_distill as cli
+
+    idx = _make_dataset(tmp_path)
+    out = str(tmp_path / "distill")
+    common = ["--index_file", idx, "--output_dir", out, "--tiny",
+              "--resolution", "32", "--train_batch_size", "2",
+              "--num_teacher_steps", "10", "--num_student_steps", "2",
+              "--learning_rate", "1e-4", "--lr_warmup_steps", "0",
+              "--checkpointing_steps", "2", "--checkpoints_total_limit", "2",
+              "--dataloader_num_workers", "0", "--log_every", "1"]
+    cli.main(common + ["--max_train_steps", "4"])
+    steps = [s for s, _ in list_checkpoints(out)]
+    assert steps == [2, 4]
+    cli.main(common + ["--max_train_steps", "6",
+                       "--resume_from_checkpoint", "latest"])
+    steps = [s for s, _ in list_checkpoints(out)]
+    assert steps[-1] == 6 and len(steps) <= 2
