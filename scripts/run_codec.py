@@ -140,14 +140,53 @@ def cmd_decode(args):
         L, D = text.shape[1], text.shape[2]
     else:
         uncond = text
-    jit_sample = jax.jit(pipe.sample)
 
-    def sample_fn(cond, flow):
-        B = cond.shape[0]
-        t = jnp.broadcast_to(text, (B, L, D))
-        u = jnp.broadcast_to(uncond, (B, L, D))
-        return jit_sample(params, jax.random.PRNGKey(args.seed), t, u,
-                          jnp.asarray(cond), jnp.asarray(flow))
+    if args.distilled_checkpoint:
+        # consistency-student decode (sampling/distilled.py): restore the
+        # EMA params from a scripts/train_distill.py run and sample in
+        # --student_steps evaluations with no CFG batch doubling
+        from diffcodec_tpu.config import DistillConfig, TrainConfig
+        from diffcodec_tpu.sampling.distilled import DistilledPipeline
+        from diffcodec_tpu.train.checkpoint import restore_checkpoint
+        from diffcodec_tpu.train.distill import DistillState
+        from diffcodec_tpu.train.trainer import make_optimizer
+
+        template = DistillState.create(
+            {"unet": params["unet"], "controlnet": params["controlnet"]},
+            make_optimizer(TrainConfig()))
+        restored, step = restore_checkpoint(args.distilled_checkpoint,
+                                            template)
+        if restored is None:
+            raise SystemExit(
+                f"no checkpoint-N dir under {args.distilled_checkpoint}")
+        print(f"distilled student from step {step} "
+              f"({args.student_steps}-step decode)")
+        params = dict(params)
+        params["unet"] = restored.ema_params["unet"]
+        params["controlnet"] = restored.ema_params["controlnet"]
+        dpipe = DistilledPipeline(
+            unet=pipe.unet, controlnet=pipe.controlnet, vae=pipe.vae,
+            schedule=pipe.schedule,
+            config=DistillConfig(
+                num_student_steps=args.student_steps,
+                guidance_scale=args.guidance,
+                controlnet_conditioning_scale=args.cond_scale))
+        jit_distilled = dpipe.jit_sample()
+
+        def sample_fn(cond, flow):
+            B = cond.shape[0]
+            t = jnp.broadcast_to(text, (B, L, D))
+            return jit_distilled(params, jax.random.PRNGKey(args.seed), t,
+                                 jnp.asarray(cond), jnp.asarray(flow))
+    else:
+        jit_sample = jax.jit(pipe.sample)
+
+        def sample_fn(cond, flow):
+            B = cond.shape[0]
+            t = jnp.broadcast_to(text, (B, L, D))
+            u = jnp.broadcast_to(uncond, (B, L, D))
+            return jit_sample(params, jax.random.PRNGKey(args.seed), t, u,
+                              jnp.asarray(cond), jnp.asarray(flow))
 
     out = decode_video(enc, sample_fn, max_batch=args.max_batch,
                        transfer_dtype=jnp.bfloat16)
@@ -204,6 +243,13 @@ def main(argv=None):
                          "in --sd_checkpoint_dir")
     pd.add_argument("--prompt", default="")
     pd.add_argument("--negative_prompt", default="")
+    pd.add_argument("--distilled_checkpoint", default="",
+                    help="orbax run dir from scripts/train_distill.py: "
+                         "decode with the consistency student's EMA "
+                         "weights in --student_steps evaluations, no CFG "
+                         "(sampling/distilled.py)")
+    pd.add_argument("--student_steps", type=int, default=4,
+                    help="K for the distilled decode path")
 
     pv = sub.add_parser("eval")
     pv.add_argument("--orig", required=True)

@@ -165,3 +165,33 @@ def test_distill_cli_smoke_and_resume(tmp_path):
                        "--resume_from_checkpoint", "latest"])
     steps = [s for s, _ in list_checkpoints(out)]
     assert steps[-1] == 6 and len(steps) <= 2
+
+@pytest.mark.slow
+def test_codec_cli_distilled_decode(tmp_path):
+    """decode --distilled_checkpoint: consistency-student decode through
+    the codec CLI (train 2 tiny distill steps, then K-step decode)."""
+    import run_codec as codec_cli
+    import train_distill as distill_cli
+    from PIL import Image
+
+    idx = _make_dataset(tmp_path)
+    run = str(tmp_path / "distill_run")
+    distill_cli.main(["--index_file", idx, "--output_dir", run, "--tiny",
+                      "--resolution", "32", "--train_batch_size", "2",
+                      "--num_teacher_steps", "10", "--max_train_steps", "2",
+                      "--checkpointing_steps", "2",
+                      "--dataloader_num_workers", "0", "--log_every", "1"])
+
+    rng = np.random.default_rng(2)
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i in range(4):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(
+            np.uint8)).save(frames_dir / f"frame_{i:04d}.png")
+    enc = str(tmp_path / "enc")
+    codec_cli.main(["encode", "--frames", str(frames_dir), "--out", enc,
+                    "--gop", "2", "--mode", "none"])
+    dec = str(tmp_path / "dec")
+    codec_cli.main(["decode", "--bitstream", enc, "--out", dec, "--tiny",
+                    "--distilled_checkpoint", run, "--student_steps", "2"])
+    assert len(os.listdir(dec)) == 4

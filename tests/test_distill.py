@@ -100,6 +100,7 @@ def tiny_distill_setup():
     return distiller, student, frozen, batch
 
 
+@pytest.mark.slow
 def test_consistency_fn_identity_at_t0(tiny_distill_setup):
     """f(x, 0) == x regardless of the network output (boundary cond)."""
     distiller, student, frozen, batch = tiny_distill_setup
@@ -110,6 +111,7 @@ def test_consistency_fn_identity_at_t0(tiny_distill_setup):
     np.testing.assert_allclose(np.asarray(f), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_updates_student_and_ema(tiny_distill_setup):
     distiller, student, frozen, batch = tiny_distill_setup
     tx = optax.adam(1e-3)
@@ -138,6 +140,7 @@ def test_train_step_updates_student_and_ema(tiny_distill_setup):
     assert 0 <= float(metrics["t_mean"]) < 1000
 
 
+@pytest.mark.slow
 def test_distilled_sampler_end_to_end(tiny_distill_setup):
     distiller, student, frozen, batch = tiny_distill_setup
     params = dict(student)
@@ -157,6 +160,7 @@ def test_distilled_sampler_end_to_end(tiny_distill_setup):
     assert np.abs(np.asarray(images)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_distilled_sampler_k1_is_single_application(tiny_distill_setup):
     """K=1 must equal one consistency-function application at the top
     timestep followed by the VAE decode (no re-noising)."""

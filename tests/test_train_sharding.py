@@ -220,3 +220,48 @@ def test_real_tokenizer_text_embeds_and_loss_finite(tmp_path):
     loss, metrics = trainer.loss_fn(cn_params, frozen, batch,
                                     jax.random.PRNGKey(1))
     assert np.isfinite(float(loss)), metrics
+
+
+@pytest.mark.slow
+def test_sharded_distill_step_matches_single_device():
+    """The consistency-distillation step (train/distill.py) under the
+    data x fsdp mesh must match the unsharded step: loss equal, updated
+    student AND EMA trees equal within cross-sharding fp tolerance."""
+    from diffcodec_tpu.config import DistillConfig
+    from diffcodec_tpu.train.distill import (ConsistencyDistiller,
+                                             DistillState)
+
+    rng = jax.random.PRNGKey(0)
+    unet, controlnet, vae, cn_params, frozen, batch = _tiny_setup(rng)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    cfg = TrainConfig(learning_rate=1e-4, lr_warmup_steps=0,
+                      max_train_steps=10, adam_weight_decay=0.0)
+    dcfg = DistillConfig(num_teacher_steps=10, freeu=False, ema_decay=0.9)
+    distiller = ConsistencyDistiller(unet=unet, controlnet=controlnet,
+                                     vae=vae, schedule=schedule, config=dcfg)
+    frozen_d = dict(frozen)
+    frozen_d["controlnet"] = cn_params
+    batch = dict(batch)
+    batch["uncond_embeds"] = jnp.zeros_like(batch["text_embeds"])
+    student = {"unet": jax.tree.map(jnp.copy, frozen["unet"]),
+               "controlnet": jax.tree.map(jnp.copy, cn_params)}
+
+    state1 = DistillState.create(student, make_optimizer(cfg))
+    state1, m1 = distiller.train_step(state1, frozen_d, batch,
+                                      jax.random.PRNGKey(1))
+
+    mesh = make_mesh(MeshConfig(fsdp_size=2))
+    state2 = DistillState.create(student, make_optimizer(cfg))
+    state2 = distiller.shard_state(mesh, state2)
+    step = distiller.jit_train_step(mesh)
+    state2, m2 = step(state2, frozen_d, shard_batch(mesh, batch),
+                      jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    lr = 1e-4
+    for tree1, tree2 in ((state1.params, state2.params),
+                         (state1.ema_params, state2.ema_params)):
+        for x, y in zip(jax.tree.leaves(tree1), jax.tree.leaves(tree2)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-3, atol=3 * lr)
