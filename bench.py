@@ -15,6 +15,11 @@ steady-state frames/sec for the full operating-point matrix:
   * cnint3_encint3  — both caches combined at interval 3.
   * 1080p tiled     — full-HD overlap-tiled decode (512px tiles/overlap 64,
                       patch_utils parity), exact and combined-cache modes.
+  * distilled4step_mechanism — K-step consistency-student sampler
+                      (train/distill.py, no CFG doubling); measures the
+                      MECHANISM's throughput with untrained weights — a
+                      quality operating point additionally requires a
+                      distilled student checkpoint.
 
 Approximation quality cost for the cached modes is quantified in
 artifacts/approx_drift.json (scripts/approx_drift.py): exact-vs-cached
@@ -185,11 +190,12 @@ def main():
               f"steady={best:.3f}s/batch batch={B} times={times}",
               file=sys.stderr)
 
-    if os.environ.get("BENCH_DISTILL") == "1":
+    if os.environ.get("BENCH_DISTILL", "1") == "1":
         # K-step consistency-student decode (train/distill.py).  Labelled
         # "mechanism": with an untrained student this measures the speed of
         # the K-step no-CFG sampler, not a validated quality point — the
         # student must first be distilled (scripts/train_distill.py).
+        # BENCH_DISTILL=0 skips it.
         from diffcodec_tpu.config import DistillConfig
         from diffcodec_tpu.sampling.distilled import DistilledPipeline
         K = int(os.environ.get("BENCH_DISTILL_STEPS", "4"))
