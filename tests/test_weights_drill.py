@@ -198,3 +198,37 @@ def test_rd_sweep_full_gate(tiny_checkpoint_dir, aux_checkpoint_dir,
     # toy 32px resolution; its numerics are oracle-tested at real sizes in
     # tests/test_metric_oracles.py
     assert all(np.isfinite(m[k]) for k in ("psnr", "lpips", "fid")), m
+
+
+@pytest.mark.slow
+def test_distill_eval_gate_from_checkpoint(tmp_path, monkeypatch):
+    """The distillation quality gate (scripts/distill_eval.py) runs from
+    an on-disk student checkpoint — the weights-readiness drill for the
+    distilled decode path: when a trained student lands, the same command
+    produces the real K/quality curve."""
+    import sys as _sys
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    if scripts not in _sys.path:
+        _sys.path.insert(0, scripts)
+    import train_distill
+    import distill_eval
+    from tests.test_cli_harness import _make_dataset
+
+    idx = _make_dataset(tmp_path)
+    run = str(tmp_path / "run")
+    train_distill.main(["--index_file", idx, "--output_dir", run, "--tiny",
+                        "--resolution", "32", "--train_batch_size", "2",
+                        "--num_teacher_steps", "10", "--max_train_steps",
+                        "2", "--checkpointing_steps", "2",
+                        "--dataloader_num_workers", "0", "--log_every", "1"])
+    out = str(tmp_path / "distill_eval.json")
+    distill_eval.main(["--small", "--k_values", "1,2", "--batch", "1",
+                       "--steps", "3", "--distilled_checkpoint", run,
+                       "--out", out])
+    with open(out) as f:
+        rec = json.load(f)
+    assert rec["distilled"] and rec["student_checkpoint_step"] == 2
+    assert set(rec["per_k"]) == {"K1", "K2"}
+    for r in rec["per_k"].values():
+        assert np.isfinite(r["psnr_vs_teacher_db"])
