@@ -195,3 +195,67 @@ def test_codec_cli_distilled_decode(tmp_path):
     codec_cli.main(["decode", "--bitstream", enc, "--out", dec, "--tiny",
                     "--distilled_checkpoint", run, "--student_steps", "2"])
     assert len(os.listdir(dec)) == 4
+
+@pytest.mark.slow
+def test_export_distilled_student_roundtrip(tmp_path):
+    """--distilled export: the EMA student round-trips through the
+    reference/diffusers torch layouts (export -> convert back -> equal)."""
+    import export_checkpoint as exp_cli
+    import train_distill as distill_cli
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+    from safetensors.numpy import load_file
+
+    from diffcodec_tpu.config import ControlNetConfig, UNetConfig
+    from diffcodec_tpu.models.controlnet import DualFlowControlNet
+    from diffcodec_tpu.models.hf_import import (controlnet_name_map,
+                                                convert_state_dict,
+                                                unet_name_map)
+    from diffcodec_tpu.models.unet2d_condition import UNet2DConditionModel
+
+    idx = _make_dataset(tmp_path)
+    run = str(tmp_path / "run")
+    distill_cli.main(["--index_file", idx, "--output_dir", run, "--tiny",
+                      "--resolution", "32", "--train_batch_size", "2",
+                      "--num_teacher_steps", "10", "--max_train_steps", "2",
+                      "--checkpointing_steps", "2",
+                      "--dataloader_num_workers", "0", "--log_every", "1"])
+    out = str(tmp_path / "export")
+    exp_cli.main(["--distilled", "--tiny", "--checkpoint_dir", run,
+                  "--out", out])
+    assert sorted(os.listdir(out)) == ["controlnet.safetensors",
+                                       "unet.safetensors"]
+
+    # reimport through the converters and compare to the saved EMA tree
+    from diffcodec_tpu.config import TrainConfig
+    from diffcodec_tpu.train.checkpoint import restore_checkpoint
+    from diffcodec_tpu.train.distill import DistillState
+    from diffcodec_tpu.train.trainer import make_optimizer
+
+    z = jnp.zeros
+    unet_cfg, cn_cfg = UNetConfig.tiny(), ControlNetConfig.tiny()
+    unet = UNet2DConditionModel(unet_cfg)
+    cn = DualFlowControlNet(cn_cfg)
+    H, h = 64, 8
+    unet_t = unet.init(jax.random.PRNGKey(1), z((1, h, h, 4)),
+                       z((1,), jnp.int32),
+                       z((1, 3, unet_cfg.cross_attention_dim)))
+    cn_t = cn.init(jax.random.PRNGKey(0), z((1, h, h, 4)),
+                   z((1,), jnp.int32),
+                   z((1, 3, cn_cfg.unet.cross_attention_dim)),
+                   z((1, H, H, 6)), z((1, H, H, 4)))
+    state = DistillState.create({"unet": unet_t, "controlnet": cn_t},
+                                make_optimizer(TrainConfig()))
+    restored, _ = restore_checkpoint(run, state)
+
+    for name, template, nm, want in (
+            ("unet", unet_t, unet_name_map(unet_cfg),
+             restored.ema_params["unet"]),
+            ("controlnet", cn_t, controlnet_name_map(cn_cfg),
+             restored.ema_params["controlnet"])):
+        sd = load_file(os.path.join(out, f"{name}.safetensors"))
+        back, _, _ = convert_state_dict(sd, nm, template, strict=False)
+        for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(want)):
+            np_.testing.assert_allclose(np_.asarray(a), np_.asarray(b),
+                                        atol=1e-6)
