@@ -53,6 +53,13 @@ def main(argv=None):
                          "CMP sparse-flow densification")
     ap.add_argument("--prompt", default="a high quality video frame")
     ap.add_argument("--negative_prompt", default="")
+    ap.add_argument("--distilled_checkpoint", default="",
+                    help="orbax run dir from scripts/train_distill.py: "
+                         "sweep with the consistency student's EMA "
+                         "weights in --student_steps evaluations, no CFG "
+                         "(sampling/distilled.py) — compare its RD curve "
+                         "to the teacher's")
+    ap.add_argument("--student_steps", type=int, default=4)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -140,6 +147,41 @@ def main(argv=None):
             densify_fn = make_cmp_densifier(CMP(), aux["cmp"])
         print(f"aux checkpoints loaded: {sorted(aux)}")
 
+    student_ema, dpipe = None, None
+    if args.distilled_checkpoint:
+        from diffcodec_tpu.config import DistillConfig, TrainConfig
+        from diffcodec_tpu.sampling.distilled import DistilledPipeline
+        from diffcodec_tpu.train.checkpoint import restore_checkpoint
+        from diffcodec_tpu.train.distill import DistillState
+        from diffcodec_tpu.train.trainer import make_optimizer
+
+        z = jnp.zeros
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        Ht, L, D = 64, 8, unet_cfg.cross_attention_dim
+        templ = {
+            "unet": pipe.unet.init(k1, z((1, Ht // 8, Ht // 8, 4)),
+                                   z((1,), jnp.int32), z((1, L, D))),
+            "controlnet": pipe.controlnet.init(
+                k2, z((1, Ht // 8, Ht // 8, 4)), z((1,), jnp.int32),
+                z((1, L, D)), z((1, Ht, Ht, 6)), z((1, Ht, Ht, 4))),
+        }
+        restored, sstep = restore_checkpoint(
+            args.distilled_checkpoint,
+            DistillState.create(templ, make_optimizer(TrainConfig())))
+        if restored is None:
+            raise SystemExit(
+                f"no checkpoints under {args.distilled_checkpoint}")
+        student_ema = restored.ema_params
+        dpipe = DistilledPipeline(
+            unet=pipe.unet, controlnet=pipe.controlnet, vae=pipe.vae,
+            schedule=pipe.schedule,
+            config=DistillConfig(num_student_steps=args.student_steps,
+                                 guidance_scale=args.guidance,
+                                 controlnet_conditioning_scale=
+                                 args.cond_scale))
+        print(f"sweeping with distilled student (step {sstep}, "
+              f"K={args.student_steps})")
+
     def get_params(H, W):
         if (H, W) not in params_cache:
             z = jnp.zeros
@@ -200,12 +242,26 @@ def main(argv=None):
                 uncond = (jnp.asarray(prompt_embeds[1])
                           if prompt_embeds is not None else text)
 
-                def sample_fn(cond, flow):
-                    B = cond.shape[0]
-                    t = jnp.broadcast_to(text, (B,) + text.shape[1:])
-                    u = jnp.broadcast_to(uncond, (B,) + uncond.shape[1:])
-                    return pipe.sample(params, jax.random.PRNGKey(0), t, u,
-                                       jnp.asarray(cond), jnp.asarray(flow))
+                if student_ema is not None:
+                    sparams = dict(params)
+                    sparams["unet"] = student_ema["unet"]
+                    sparams["controlnet"] = student_ema["controlnet"]
+
+                    def sample_fn(cond, flow):
+                        B = cond.shape[0]
+                        t = jnp.broadcast_to(text, (B,) + text.shape[1:])
+                        return dpipe.sample(sparams, jax.random.PRNGKey(0),
+                                            t, jnp.asarray(cond),
+                                            jnp.asarray(flow))
+                else:
+                    def sample_fn(cond, flow):
+                        B = cond.shape[0]
+                        t = jnp.broadcast_to(text, (B,) + text.shape[1:])
+                        u = jnp.broadcast_to(uncond,
+                                             (B,) + uncond.shape[1:])
+                        return pipe.sample(params, jax.random.PRNGKey(0),
+                                           t, u, jnp.asarray(cond),
+                                           jnp.asarray(flow))
 
                 decoded = decode_video(enc, sample_fn,
                                        densify_fn=densify_fn)

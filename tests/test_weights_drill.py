@@ -232,3 +232,42 @@ def test_distill_eval_gate_from_checkpoint(tmp_path, monkeypatch):
     assert set(rec["per_k"]) == {"K1", "K2"}
     for r in rec["per_k"].values():
         assert np.isfinite(r["psnr_vs_teacher_db"])
+
+
+@pytest.mark.slow
+def test_rd_sweep_distilled_student(tmp_path):
+    """rd_sweep --distilled_checkpoint: the RD gate runs end to end with
+    the consistency student's K-step no-CFG decoder (the sweep that
+    compares student vs teacher RD curves when real weights land)."""
+    import sys as _sys
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    if scripts not in _sys.path:
+        _sys.path.insert(0, scripts)
+    from PIL import Image
+    import train_distill
+    from scripts.rd_sweep import main as sweep_main
+    from tests.test_cli_harness import _make_dataset
+
+    idx = _make_dataset(tmp_path)
+    run = str(tmp_path / "run")
+    train_distill.main(["--index_file", idx, "--output_dir", run, "--tiny",
+                        "--resolution", "32", "--train_batch_size", "2",
+                        "--num_teacher_steps", "10", "--max_train_steps",
+                        "2", "--checkpointing_steps", "2",
+                        "--dataloader_num_workers", "0", "--log_every", "1"])
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "dataset" / "vid0" / "frames"
+    root.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                        ).save(root / f"frame_{i:04d}.png")
+    out = str(tmp_path / "sweep_out")
+    sweep_main(["--dataset_root", str(tmp_path / "dataset"), "--out", out,
+                "--gops", "2", "--modes", "none", "--tiny",
+                "--distilled_checkpoint", run, "--student_steps", "2"])
+    with open(os.path.join(out, "metric_results.json")) as f:
+        res = json.load(f)
+    m = res["2"]["vid0"]["none"]["all"]
+    assert np.isfinite(m["psnr"])
