@@ -190,6 +190,7 @@ def main():
               f"steady={best:.3f}s/batch batch={B} times={times}",
               file=sys.stderr)
 
+    dpipe = None
     if os.environ.get("BENCH_DISTILL", "1") == "1":
         # K-step consistency-student decode (train/distill.py).  Labelled
         # "mechanism": with an untrained student this measures the speed of
@@ -232,7 +233,10 @@ def main():
     cond_hd = rng.random((1, H2, W2, 6), dtype=np.float32)
     flow_hd = np.zeros((1, H2, W2, 4), np.float32)
     text_hd = np.asarray(text[:1], np.float32)
-    for suffix in ("exact_fusedconv", "cnint3_encint3"):
+    if dpipe is not None:
+        pipes[f"distilled{K}step_mechanism"] = dpipe
+    for suffix in ("exact_fusedconv", "cnint3_encint3",
+                   *([f"distilled{K}step_mechanism"] if dpipe else [])):
         if suffix not in pipes:
             continue
         # sample_tiled re-jits via _jitted_sampler, so re-pin the fused
@@ -249,9 +253,12 @@ def main():
                      cond_hd, flow_hd, tile=(512, 512), overlap=64,
                      tile_batch=5)
         dt = time.time() - t0
-        name = "decoded_frames_per_sec_1080p_tiled_30step"
-        emit(name if suffix == "exact" else f"{name}_{suffix}", 1.0 / dt,
-             extra={"seconds_per_frame": round(dt, 2)})
+        if suffix.startswith("distilled"):
+            name = f"decoded_frames_per_sec_1080p_tiled_{suffix}"
+        else:
+            name = ("decoded_frames_per_sec_1080p_tiled_30step"
+                    + ("" if suffix == "exact" else f"_{suffix}"))
+        emit(name, 1.0 / dt, extra={"seconds_per_frame": round(dt, 2)})
         print(f"# 1080p {suffix}: first(compile+run)={first:.1f}s "
               f"steady={dt:.1f}s/frame", file=sys.stderr)
 

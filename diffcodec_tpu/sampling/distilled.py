@@ -38,6 +38,9 @@ class DistilledPipeline:
     vae: object
     schedule: NoiseSchedule
     config: DistillConfig = DistillConfig()
+    # no CFG batch -> sample() takes no uncond embeddings; lets
+    # sampling/tiled.sample_tiled adapt the call shape
+    takes_uncond = False
 
     def _f(self, params, pyramid, x, t, text):
         """Consistency function with a pre-hoisted pyramid."""

@@ -32,10 +32,17 @@ def _jitted_sampler(pipe):
     """One jitted sampler per pipeline instance, so repeated sample_tiled
     calls and all same-shape tile chunks share a single compiled program.
     The cached strong reference keeps the id stable while the entry
-    lives."""
+    lives.  Pipelines without CFG batching (`takes_uncond = False`, e.g.
+    the distilled-student `DistilledPipeline`) are adapted to the common
+    (params, rng, text, uncond, cond, flow) call shape — the uncond
+    operand is simply dropped."""
     entry = _sampler_cache.pop(id(pipe), None)
     if entry is None:
-        entry = (pipe, pipe.jit_sample())
+        fn = pipe.jit_sample()
+        if not getattr(pipe, "takes_uncond", True):
+            base = fn
+            fn = lambda params, rng, t, u, c, f: base(params, rng, t, c, f)
+        entry = (pipe, fn)
     _sampler_cache[id(pipe)] = entry          # move to most-recent
     while len(_sampler_cache) > _SAMPLER_CACHE_MAX:
         _sampler_cache.pop(next(iter(_sampler_cache)))

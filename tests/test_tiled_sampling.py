@@ -85,3 +85,28 @@ def test_sample_tiled_tile_batching_matches(tiny_pipe):
     a = sample_tiled(pipe, params, jax.random.PRNGKey(3), text, text, cond,
                      flow, tile=(32, 32), overlap=8, feather=8)
     assert a.shape == (B, H, W, 3)
+
+
+@pytest.mark.slow
+def test_sample_tiled_distilled_pipeline(tiny_pipe):
+    """The tiled path adapts the distilled student's no-uncond call shape
+    (takes_uncond = False): full-HD-style overlap decode with K-step
+    consistency sampling."""
+    from diffcodec_tpu.config import DistillConfig
+    from diffcodec_tpu.sampling.distilled import DistilledPipeline
+
+    pipe, params = tiny_pipe
+    dpipe = DistilledPipeline(
+        unet=pipe.unet, controlnet=pipe.controlnet, vae=pipe.vae,
+        schedule=pipe.schedule,
+        config=DistillConfig(num_teacher_steps=10, num_student_steps=2,
+                             freeu=False))
+    rng = np.random.default_rng(0)
+    H, W = 48, 64
+    cond = rng.random((1, H, W, 6), dtype=np.float32)
+    flow = np.zeros((1, H, W, 4), np.float32)
+    text = np.zeros((1, 5, 32), np.float32)
+    out = sample_tiled(dpipe, params, jax.random.PRNGKey(1), text, text,
+                       cond, flow, tile=(32, 32), overlap=8, feather=8)
+    assert out.shape == (1, H, W, 3)
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
