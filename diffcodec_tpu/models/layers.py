@@ -309,6 +309,16 @@ class Attention(nn.Module):
             logits_bytes = 4 * B * self.heads * Lq * Lk
             if on_tpu and Lq < 2048:
                 impl = "flash"
+            elif on_tpu and B * self.heads <= 64:
+                # measured (v5e, D=40, bf16, L=4096): at small batch the
+                # einsum path hits a flat ~6.9 ms floor regardless of B
+                # while flash scales with the padded FLOPs — flash 3.05 vs
+                # einsum 6.91 ms fwd at B*H=32, and 11.6 vs 23.8 ms
+                # fwd+bwd (the training shapes; this branch is what lifts
+                # the train step's UNet/trunk attention off the floor).
+                # Above B*H~64 einsum wins (9.57 vs 6.88 at B*H=112, the
+                # CFG decode batch) — scripts/profile_train.py history.
+                impl = "flash"
             elif logits_bytes <= self.auto_logits_budget:
                 impl = "einsum"
             else:

@@ -2,11 +2,15 @@
 
 Times the full DualFlowControlNet training step (VAE encode, frozen-UNet
 forward, ControlNet forward/backward, Adam update) at 512px on one chip.
-Measured 2026-08-18 on v5e: 501 ms/step at batch 4 = 8.0 samples/s/chip;
-471 ms (8.5 samples/s, +6%) with DIFFCODEC_FUSED_SILU_CONV=1 (the fused
-kernel applies to the VAE-encode/ControlNet resnet stages; its custom_vjp
-keeps the backward on the XLA reference gradient — losses agree to bf16
-rounding).  FLOPs grounding: 3.93 TF/sample => 15.7% of spec peak; see
+Measured 2026-08-18 on v5e: 501 ms/step at batch 4 = 8.0 samples/s/chip
+with the original einsum-attention dispatch; **387 ms = 10.34 samples/s**
+after the batch-aware flash dispatch (Attention 'auto': B*H <= 64 at
+L >= 2048 takes the Pallas flash kernel — the training batch was paying a
+flat ~6.9 ms/block materialized-logits floor, artifacts/profile_train.json);
+**354 ms = 11.29 samples/s** with DIFFCODEC_FUSED_SILU_CONV=1 on top (the
+fused kernel's custom_vjp keeps the backward on the XLA reference
+gradient — losses agree to bf16 rounding).  FLOPs grounding:
+3.93 TF/sample => 22.5% of spec peak at 354 ms (was 15.7% at 501); see
 BASELINE.md "Training throughput derivation".
 
 Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch)
