@@ -9,7 +9,9 @@ L >= 2048 takes the Pallas flash kernel — the training batch was paying a
 flat ~6.9 ms/block materialized-logits floor, artifacts/profile_train.json);
 **354 ms = 11.29 samples/s** with DIFFCODEC_FUSED_SILU_CONV=1 on top (the
 fused kernel's custom_vjp keeps the backward on the XLA reference
-gradient — losses agree to bf16 rounding).  FLOPs grounding:
+gradient — losses agree to bf16 rounding).  Batch 8 amortizes the
+remaining small-batch floors further: **561 ms = 14.27 samples/s/chip**
+(TB_BATCH=8; batch 12 no longer compiles on one chip — HBM).  FLOPs grounding:
 3.93 TF/sample => 22.5% of spec peak at 354 ms (was 15.7% at 501); see
 BASELINE.md "Training throughput derivation".
 
