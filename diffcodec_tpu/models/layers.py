@@ -250,6 +250,37 @@ def _chunked_self_attention(q, k, v, scale, chunk: int = 1024):
     return out.transpose(0, 2, 1, 3).astype(v.dtype)  # [B, Lq, H, D]
 
 
+def pick_self_attn_impl(B: int, heads: int, Lq: int, Lk: int,
+                        on_tpu: bool, logits_budget: int):
+    """Static (trace-time) long-self-attention implementation choice.
+
+    Returns (impl, q_block).  The boundaries are MEASURED on v5e at the
+    SD shapes (D=40, bf16 operands / f32 softmax; scripts/profile_train.py
+    history + the round-2 chained timings):
+
+      * Lq < 2048: flash (2.4 vs einsum 3.2 ms at B14 L1024 D80).
+      * Lq >= 2048, B*heads <= 64: flash — the einsum path hits a flat
+        ~6.9 ms/block floor regardless of batch while flash scales with
+        the padded FLOPs (3.05 vs 6.91 ms fwd at B*H=32; 11.6 vs 23.8 ms
+        fwd+bwd).  This is the branch that lifts training (batch 4-8) and
+        the no-CFG distilled decode (GOP batch 7) off the floor.
+      * Lq >= 2048, B*heads > 64: einsum while the f32 logits fit the
+        budget (einsum 6.88 vs flash 9.57 ms at B*H=112, the CFG decode
+        batch), else qchunk with the block sized to ~2 GiB of logits.
+    """
+    q_block = 2048
+    logits_bytes = 4 * B * heads * Lq * Lk
+    if on_tpu and Lq < 2048:
+        return "flash", q_block
+    if on_tpu and B * heads <= 64:
+        return "flash", q_block
+    if logits_bytes <= logits_budget:
+        return "einsum", q_block
+    per_row = 4 * B * heads * Lk
+    q_block = max(256, min(2048, (2 << 30) // per_row // 256 * 256))
+    return "qchunk", q_block
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional cross-attention context.
 
@@ -305,29 +336,10 @@ class Attention(nn.Module):
         impl = self.self_attn_impl
         q_block = 2048
         if long_self and impl == "auto":
-            on_tpu = jax.default_backend() == "tpu"
-            logits_bytes = 4 * B * self.heads * Lq * Lk
-            if on_tpu and Lq < 2048:
-                impl = "flash"
-            elif on_tpu and B * self.heads <= 64:
-                # measured (v5e, D=40, bf16, L=4096): at small batch the
-                # einsum path hits a flat ~6.9 ms floor regardless of B
-                # while flash scales with the padded FLOPs — flash 3.05 vs
-                # einsum 6.91 ms fwd at B*H=32, and 11.6 vs 23.8 ms
-                # fwd+bwd (the training shapes; this branch is what lifts
-                # the train step's UNet/trunk attention off the floor).
-                # Above B*H~64 einsum wins (9.57 vs 6.88 at B*H=112, the
-                # CFG decode batch) — scripts/profile_train.py history.
-                impl = "flash"
-            elif logits_bytes <= self.auto_logits_budget:
-                impl = "einsum"
-            else:
-                # bound the scanned block's f32 logits to ~2 GiB so the
-                # peak stays flat however large the frame batch grows
-                impl = "qchunk"
-                per_row = 4 * B * self.heads * Lk
-                q_block = max(256, min(2048, (2 << 30) // per_row // 256
-                                       * 256))
+            impl, q_block = pick_self_attn_impl(
+                B, self.heads, Lq, Lk,
+                on_tpu=jax.default_backend() == "tpu",
+                logits_budget=self.auto_logits_budget)
         if long_self and impl == "flash" and \
                 jax.default_backend() == "tpu":
             out = _flash_self_attention(q, k, v, scale)

@@ -102,3 +102,33 @@ def test_cross_attention_uses_einsum_path():
     out = m.apply(params, x, ctx)
     assert out.shape == (1, 4096, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pick_self_attn_impl_policy():
+    """The measured v5e dispatch boundaries (see pick_self_attn_impl
+    docstring): flash below the 2048 length and at small B*heads, einsum
+    at CFG-decode batches within the logits budget, qchunk beyond it with
+    a ~2 GiB-bounded block."""
+    from diffcodec_tpu.models.layers import pick_self_attn_impl
+
+    GiB = 1024 ** 3
+    # short-seq flash
+    assert pick_self_attn_impl(14, 8, 1024, 1024, True, 8 * GiB)[0] == \
+        "flash"
+    # training batch at L=4096: flash (B*H = 32 <= 64)
+    assert pick_self_attn_impl(4, 8, 4096, 4096, True, 8 * GiB)[0] == \
+        "flash"
+    # no-CFG GOP decode batch (B*H = 56): flash
+    assert pick_self_attn_impl(7, 8, 4096, 4096, True, 8 * GiB)[0] == \
+        "flash"
+    # CFG decode batch (B*H = 112, logits 7.5 GiB <= 8 GiB): einsum
+    assert pick_self_attn_impl(14, 8, 4096, 4096, True, 8 * GiB)[0] == \
+        "einsum"
+    # 2-GOP CFG batch (logits 15 GiB > budget): qchunk, block bounded
+    impl, qb = pick_self_attn_impl(28, 8, 4096, 4096, True, 8 * GiB)
+    assert impl == "qchunk"
+    assert 256 <= qb <= 2048 and qb % 256 == 0
+    assert 4 * 28 * 8 * 4096 * qb <= (2 << 30)
+    # off-TPU: einsum within budget (flash is a TPU kernel)
+    assert pick_self_attn_impl(4, 8, 4096, 4096, False, 8 * GiB)[0] == \
+        "einsum"
