@@ -115,6 +115,116 @@ def im2col_conv_enabled() -> bool:
     return os.environ.get("DIFFCODEC_FUSED_SILU_CONV") == "1"
 
 
+# ---------------------------------------------------------------------------
+# stride-2 conv via space-to-depth (pure XLA)
+# ---------------------------------------------------------------------------
+
+def _s2d_weights(kernel):
+    """[3,3,C,O] -> [2,2,4C,O]: the 2x2/s1 kernel over space-to-depth
+    channels (a,b,c order, slot-major) equivalent to 3x3/s2 on the
+    original layout.  Taps with 2u+a > 2 (the unused 4th phase) are
+    zero."""
+    C, O = kernel.shape[2], kernel.shape[3]
+    w = jnp.zeros((2, 2, 2, 2, C, O), kernel.dtype)
+    for u in (0, 1):
+        for v in (0, 1):
+            for a in (0, 1):
+                for b in (0, 1):
+                    dr, dc = 2 * u + a, 2 * v + b
+                    if dr < 3 and dc < 3:
+                        w = w.at[u, v, a, b].set(kernel[dr, dc])
+    return w.reshape(2, 2, 4 * C, O)
+
+
+def _conv3x3_s2_s2d(x, kernel, bias, pad, act_in, act_out):
+    """3x3 stride-2 conv computed as conv2x2/s1 over the space-to-depth
+    input.  Why: XLA's direct 3x3/s2 lowering is padding/copy-bound at
+    small-to-mid channel counts (VAE encoder downsamples, extractor
+    pyramids), while the s2d form is one cheap reshape/transpose plus a
+    DENSE 2x2 conv at 4C input channels — the contraction K = 16C lands
+    on full MXU lanes.  pad is the explicit ((pt,pb),(pl,pr)) of the
+    original conv (the SD VAE downsample uses (0,1)/(0,1),
+    `diffusers` Downsample2D; the extractors use (1,1)/(1,1))."""
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    h = _ACTS[act_in](x)
+    hp = jnp.pad(h, ((0, 0), pad[0], pad[1], (0, 0)))
+    Hp, Wp = hp.shape[1], hp.shape[2]
+    Ho, Wo = (Hp - 3) // 2 + 1, (Wp - 3) // 2 + 1
+    Hp2, Wp2 = 2 * (Ho + 1), 2 * (Wo + 1)
+    hp = jnp.pad(hp, ((0, 0), (0, Hp2 - Hp), (0, Wp2 - Wp), (0, 0)))
+    s = hp.reshape(B, Hp2 // 2, 2, Wp2 // 2, 2, C)
+    s = s.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp2 // 2, Wp2 // 2, 4 * C)
+    w = _s2d_weights(kernel.astype(x.dtype))
+    y = lax.conv_general_dilated(
+        s, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y[:, :Ho, :Wo] + bias.astype(x.dtype)
+    return _ACTS[act_out](y)
+
+
+def _conv3x3_s2_ref(x, kernel, bias, pad, act_in, act_out):
+    """Flax-Conv-identical stride-2 reference."""
+    h = _ACTS[act_in](x)
+    y = lax.conv_general_dilated(
+        h, kernel.astype(x.dtype), (2, 2), tuple(pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _ACTS[act_out](y + bias.astype(x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _s2d_conv(x, kernel, bias, pad, act_in, act_out):
+    return _conv3x3_s2_s2d(x, kernel, bias, pad, act_in, act_out)
+
+
+def _s2d_fwd(x, kernel, bias, pad, act_in, act_out):
+    return _s2d_conv(x, kernel, bias, pad, act_in, act_out), (x, kernel,
+                                                              bias)
+
+
+def _s2d_bwd(pad, act_in, act_out, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda x, k, b: _conv3x3_s2_ref(x, k, b, pad, act_in, act_out),
+        x, kernel, bias)
+    return vjp(g)
+
+
+_s2d_conv.defvjp(_s2d_fwd, _s2d_bwd)
+
+
+def conv3x3_stride2_act(x, kernel, bias, pad=((1, 1), (1, 1)),
+                        act_in="none", act_out="none"):
+    """3x3 stride-2 conv with fusable activations; opt-in s2d dispatch
+    (same `DIFFCODEC_FUSED_SILU_CONV` knob; win window TBD by
+    measurement — see `_s2_qualifies`)."""
+    if (im2col_conv_enabled()
+            and jax.default_backend() == "tpu"
+            and _s2_qualifies(x, kernel.shape[-1])):
+        return _s2d_conv(x, kernel, bias, tuple(map(tuple, pad)), act_in,
+                         act_out)
+    return _conv3x3_s2_ref(x, kernel, bias, tuple(map(tuple, pad)),
+                           act_in, act_out)
+
+
+def _s2_qualifies(x, out_features: int) -> bool:
+    """Measured: the s2d scheduling LOSES at every production stride-2
+    shape (v5e, bf16, sequential-dispatch timing, ms ref -> s2d):
+
+      VAE dn 512px 128->128 (B4):  5.02 -> 9.30
+      VAE dn 256px 256->256 (B4):  3.55 -> 6.07
+      VAE dn 128px 512->512 (B4):  3.02 -> 3.61
+      extractor 512px 16->32 (B14): 6.04 -> 14.46
+      extractor 256px 32->64 (B14): 2.88 -> 4.92
+
+    The (2,2)-phase transpose is a lane-crossing relayout that costs more
+    than it saves, and XLA's direct 3x3/s2 lowering is already at
+    ~60 TF/s on the biggest stage — the earlier catastrophic stride-2
+    number (43 ms) was the STRIDED-SLICE im2col above, not XLA's conv.
+    Dispatch disabled; op + tests kept as the recorded negative result."""
+    return False
+
+
 def _shape_qualifies(x, out_features: int, stride: int) -> bool:
     """The MEASURED win window (v5e, bf16, chained-op timing at the
     extractor shapes, batch 14):

@@ -82,3 +82,35 @@ def test_dispatch_fallback_off_tpu():
         del os.environ["DIFFCODEC_FUSED_SILU_CONV"]
     want = _conv3x3_ref(x, k, b, 1, "none", "silu")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("pad", [((1, 1), (1, 1)), ((0, 1), (0, 1))])
+@pytest.mark.parametrize("H,W", [(16, 16), (15, 14), (13, 17)])
+def test_s2d_stride2_matches_ref(pad, H, W):
+    """Space-to-depth 3x3/s2 == direct conv for both pad conventions
+    (extractor (1,1) and SD-VAE downsample (0,1)).  Dispatch is disabled
+    (measured loss, see _s2_qualifies) — the math stays verified."""
+    from diffcodec_tpu.ops.conv_im2col import (_conv3x3_s2_ref,
+                                               _conv3x3_s2_s2d)
+    x, k, b = _data(H=H, W=W)
+    got = _conv3x3_s2_s2d(x, k, b, pad, "none", "silu")
+    want = _conv3x3_s2_ref(x, k, b, pad, "none", "silu")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_custom_vjp_matches_ref_grad():
+    from diffcodec_tpu.ops.conv_im2col import _conv3x3_s2_ref, _s2d_bwd
+    x, k, b = _data()
+    pad = ((0, 1), (0, 1))
+    g = jax.grad(lambda y: jnp.sum(jnp.sin(y)))(
+        _conv3x3_s2_ref(x, k, b, pad, "none", "silu"))
+    gx2, gk2, gb2 = _s2d_bwd(pad, "none", "silu", (x, k, b), g)
+    gx, gk, gb = jax.grad(
+        lambda x, k, b: jnp.sum(jnp.sin(
+            _conv3x3_s2_ref(x, k, b, pad, "none", "silu"))),
+        argnums=(0, 1, 2))(x, k, b)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb2), atol=1e-5)
