@@ -48,20 +48,55 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class _GNParams(nn.Module):
+    """Bare GroupNorm scale/bias params with nn.GroupNorm's exact tree
+    ({'scale','bias'} of shape (C,), ones/zeros init) so the affine-only
+    path below shares checkpoints with the nn.GroupNorm path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in fp32 for stability, cast back to dtype."""
+    """GroupNorm(32) computed in fp32 for stability, cast back to dtype.
+
+    With `return_affine=True` it instead returns the folded per-(batch,
+    channel) affine (scale, shift) f32 arrays such that
+    `x * scale + shift == groupnorm(x)` — consumed by the fused
+    GN+SiLU+conv Pallas kernel (`ops.conv_pallas.gn_silu_conv3x3`).  The
+    param tree is identical in both modes.
+    """
     num_groups: int = 32
     eps: float = 1e-5
     use_scale_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_affine: bool = False):
         orig = x.dtype
         groups = self.num_groups
         C = x.shape[-1]
         while C % groups:  # tiny test configs have < 32 channels
             groups //= 2
+        if return_affine:
+            assert self.use_scale_bias
+            scale, bias = _GNParams(C, name="norm")()
+            B = x.shape[0]
+            gs = C // groups
+            xg = x.astype(jnp.float32).reshape(B, -1, groups, gs)
+            mu = jnp.mean(xg, axis=(1, 3))                    # [B, g]
+            mu2 = jnp.mean(xg * xg, axis=(1, 3))
+            var = jnp.maximum(mu2 - mu * mu, 0.0)
+            mul = jax.lax.rsqrt(var + self.eps)               # [B, g]
+            mulc = jnp.repeat(mul, gs, axis=1) * scale[None]  # [B, C]
+            shift = bias[None] - jnp.repeat(mu, gs, axis=1) * mulc
+            return mulc, shift
         x = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
                          use_bias=self.use_scale_bias,
                          use_scale=self.use_scale_bias,
@@ -93,20 +128,31 @@ class SiluConv(nn.Module):
     checkpoints are unaffected.  Dispatches to the fused halo-DMA Pallas
     kernel (`ops.conv_pallas`) when `DIFFCODEC_FUSED_SILU_CONV=1` and the
     shape is in the kernel's measured win window (VAE 512px/128ch stages);
-    otherwise emits the exact ops flax's Conv lowers to."""
+    otherwise emits the exact ops flax's Conv lowers to.
+
+    When `scale`/`shift` (a folded GroupNorm affine from
+    `GroupNorm32(return_affine=True)`) are given, the normalization is
+    fused in too — and `residual` adds a tensor in the kernel epilogue
+    (the resnet shortcut), removing two more HBM round trips."""
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        from diffcodec_tpu.ops.conv_pallas import silu_conv3x3
+    def __call__(self, x, scale=None, shift=None, residual=None):
+        from diffcodec_tpu.ops.conv_pallas import (gn_silu_conv3x3,
+                                                   silu_conv3x3)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
+        if scale is None:
+            assert residual is None
+            x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                      dtype=self.dtype)
+            return silu_conv3x3(x, kernel, bias)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        return silu_conv3x3(x, kernel, bias)
+        return gn_silu_conv3x3(x, scale, shift, kernel, bias, residual)
 
 
 class ResnetBlock2D(nn.Module):
@@ -119,21 +165,30 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None):
+        from diffcodec_tpu.ops.conv_pallas import gn_silu_conv_qualifies
         residual = x
-        h = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
-                        name="norm1")(x)
-        h = SiluConv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        g1 = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
+                         name="norm1")
+        c1 = SiluConv(self.out_channels, dtype=self.dtype, name="conv1")
+        if gn_silu_conv_qualifies(x, self.out_channels):
+            sc, sh = g1(x, return_affine=True)
+            h = c1(x, scale=sc, shift=sh)
+        else:
+            h = c1(g1(x))
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
-                        name="norm2")(h)
-        h = SiluConv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        g2 = GroupNorm32(self.groups, self.eps, dtype=self.dtype,
+                         name="norm2")
+        c2 = SiluConv(self.out_channels, dtype=self.dtype, name="conv2")
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                                name="conv_shortcut")(residual)
-        return h + residual
+        if gn_silu_conv_qualifies(h, self.out_channels):
+            sc, sh = g2(h, return_affine=True)
+            return c2(h, scale=sc, shift=sh, residual=residual)
+        return c2(g2(h)) + residual
 
 
 def _flash_self_attention(q, k, v, scale):
@@ -542,7 +597,8 @@ class ConvBlock(nn.Module):
         pad = ((1, 1), (1, 1))
         x = nn.Conv(self.out_channels, (3, 3), strides=s, padding=pad,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.silu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    dtype=self.dtype, name="conv2")(x)
+        # conv2 is silu-preceded: SiluConv (identical param tree / exact
+        # fallback) lets the 512px small-channel extractor stages ride the
+        # fused halo kernel under DIFFCODEC_FUSED_SILU_CONV=1
+        x = SiluConv(self.out_channels, dtype=self.dtype, name="conv2")(x)
         return nn.silu(x)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from diffcodec_tpu.config import VAEConfig
 from diffcodec_tpu.models.layers import (AttentionBlock2D, Downsample2D,
                                          GroupNorm32, ResnetBlock2D,
-                                         Upsample2D)
+                                         SiluConv, Upsample2D)
 
 
 class Encoder(nn.Module):
@@ -49,6 +49,16 @@ class Encoder(nn.Module):
                        dtype=self.dtype, name="conv_out")(h)
 
 
+def _out_head(h, norm, conv, qualifies: bool):
+    """GN -> SiLU -> conv3x3, fused into the Pallas GN kernel when the
+    shape/flag gate passes (the decoder's 512px out-head runs at 1.4 TF/s
+    under XLA — pure HBM round-trip waste, artifacts/profile_vae.json)."""
+    if qualifies:
+        sc, sh = norm(h, return_affine=True)
+        return conv(h, scale=sc, shift=sh)
+    return conv(norm(h))
+
+
 class Decoder(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
@@ -73,10 +83,13 @@ class Decoder(nn.Module):
             if i < len(c.channel_mults) - 1:
                 h = Upsample2D(ch, dtype=self.dtype,
                                name=f"up_{i}_upsample")(h)
-        h = GroupNorm32(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
-        return nn.Conv(c.in_channels, (3, 3), padding="SAME",
-                       dtype=self.dtype, name="conv_out")(h)
+        from diffcodec_tpu.ops.conv_pallas import (gn_silu_conv_qualifies,
+                                                   head_projection_qualifies)
+        norm = GroupNorm32(32, 1e-6, dtype=self.dtype, name="conv_norm_out")
+        conv = SiluConv(c.in_channels, dtype=self.dtype, name="conv_out")
+        return _out_head(h, norm, conv,
+                         gn_silu_conv_qualifies(h, c.in_channels)
+                         or head_projection_qualifies(h, c.in_channels))
 
 
 class AutoencoderKL(nn.Module):

@@ -73,10 +73,16 @@ def main():
     class OutHead(nn.Module):
         @nn.compact
         def __call__(self, x):
-            x = GroupNorm32(32, 1e-6, dtype=dtype, name="norm")(x)
-            x = nn.silu(x)
-            return nn.Conv(3, (3, 3), padding="SAME", dtype=dtype,
-                           name="conv")(x)
+            # mirror models.vae.Decoder's out-head dispatch
+            from diffcodec_tpu.models.layers import SiluConv
+            from diffcodec_tpu.models.vae import _out_head
+            from diffcodec_tpu.ops.conv_pallas import (
+                gn_silu_conv_qualifies, head_projection_qualifies)
+            norm = GroupNorm32(32, 1e-6, dtype=dtype, name="norm")
+            conv = SiluConv(3, dtype=dtype, name="conv")
+            return _out_head(x, norm, conv,
+                             gn_silu_conv_qualifies(x, 3)
+                             or head_projection_qualifies(x, 3))
 
     stages = [
         ("mid_64_512", Mid(), (B, 64, 64, 512)),

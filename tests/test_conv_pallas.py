@@ -102,3 +102,115 @@ def test_siluconv_module_param_tree_and_values():
     out = m.apply({"params": p}, x)
     want = conv.apply({"params": p}, nn.silu(x))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+# ---------------- GN-affine fused variant ----------------
+
+@pytest.fixture
+def gn_shapes():
+    rng = np.random.RandomState(1)
+    B, H, W, C, O = 2, 16, 16, 8, 8
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    sc = jnp.asarray(rng.rand(B, C) + 0.5, jnp.float32)
+    sh = jnp.asarray(rng.randn(B, C), jnp.float32)  # nonzero: stresses pad ring
+    k = jnp.asarray(rng.randn(3, 3, C, O) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(O) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.randn(B, H, W, O), jnp.float32)
+    return x, sc, sh, k, b, res
+
+
+def test_gn_kernel_matches_ref(gn_shapes):
+    from diffcodec_tpu.ops.conv_pallas import (gn_silu_conv3x3_pallas,
+                                               gn_silu_conv3x3_ref)
+    x, sc, sh, k, b, res = gn_shapes
+    got = np.asarray(gn_silu_conv3x3_pallas(x, sc, sh, k, b, th=8,
+                                            interpret=True))
+    want = np.asarray(gn_silu_conv3x3_ref(x, sc, sh, k, b))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_gn_kernel_residual_and_small_out(gn_shapes):
+    from diffcodec_tpu.ops.conv_pallas import (gn_silu_conv3x3_pallas,
+                                               gn_silu_conv3x3_ref)
+    x, sc, sh, k, b, res = gn_shapes
+    got = np.asarray(gn_silu_conv3x3_pallas(x, sc, sh, k, b, residual=res,
+                                            th=8, interpret=True))
+    want = np.asarray(gn_silu_conv3x3_ref(x, sc, sh, k, b, residual=res))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    # out-head case: O=3
+    k3, b3 = k[..., :3], b[:3]
+    got3 = np.asarray(gn_silu_conv3x3_pallas(x, sc, sh, k3, b3, th=8,
+                                             interpret=True))
+    want3 = np.asarray(gn_silu_conv3x3_ref(x, sc, sh, k3, b3))
+    np.testing.assert_allclose(got3, want3, atol=2e-5, rtol=1e-5)
+
+
+def test_gn_custom_vjp_matches_ref_grad(gn_shapes):
+    from diffcodec_tpu.ops.conv_pallas import (_gn_fused_res_bwd,
+                                               gn_silu_conv3x3_ref)
+    x, sc, sh, k, b, res = gn_shapes
+    out, vjp = jax.vjp(lambda *a: gn_silu_conv3x3_ref(*a), x, sc, sh, k, b,
+                       res)
+    g = jnp.cos(out)
+    want = vjp(g)
+    got = _gn_fused_res_bwd((x, sc, sh, k, b, res), g)
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w), atol=1e-5)
+
+
+def test_groupnorm32_affine_matches_apply():
+    """GroupNorm32(return_affine=True) folds its params into a per-(B,C)
+    affine that reproduces the nn.GroupNorm output, with an identical
+    param tree (same checkpoint loads both paths)."""
+    from diffcodec_tpu.models.layers import GroupNorm32
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64), jnp.float32)
+    g = GroupNorm32(32, 1e-6)
+    p = g.init(jax.random.PRNGKey(0), x)
+    p = jax.tree.map(
+        lambda v: jnp.asarray(rng.randn(*v.shape), jnp.float32) * 0.3 + 1.0,
+        p)
+    want = g.apply(p, x)
+    sc, sh = g.apply(p, x, return_affine=True)
+    got = x * sc[:, None, None, :] + sh[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # identical param trees between modes
+    pa = g.init(jax.random.PRNGKey(0), x, return_affine=True)
+    assert jax.tree.map(lambda v: v.shape, pa) == \
+        jax.tree.map(lambda v: v.shape, g.init(jax.random.PRNGKey(0), x))
+
+
+def test_gn_gate():
+    from diffcodec_tpu.ops.conv_pallas import gn_silu_conv_qualifies
+    z = jnp.zeros
+    # flag off in the test env -> always False, and the shape window is
+    # checked via the underlying predicate with the flag forced on
+    assert not gn_silu_conv_qualifies(z((7, 512, 512, 128), jnp.bfloat16), 128)
+    import os
+    os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+        got = gn_silu_conv_qualifies(z((7, 512, 512, 128), jnp.bfloat16), 128)
+        assert got == on_tpu  # CPU test env -> False; the window itself
+        # is covered by the dispatch tables in ops/conv_pallas.py
+    finally:
+        del os.environ["DIFFCODEC_FUSED_SILU_CONV"]
+
+
+def test_projected_head_matches_ref(gn_shapes):
+    """Project-then-stencil schedule of the O<=8 head conv equals the
+    direct conv (f32 tap accumulation; pure XLA so autodiff flows)."""
+    from diffcodec_tpu.ops.conv_pallas import (gn_silu_conv3x3_projected,
+                                               gn_silu_conv3x3_ref)
+    x, sc, sh, k, b, _ = gn_shapes
+    k3, b3 = k[..., :3], b[:3]
+    got = np.asarray(gn_silu_conv3x3_projected(x, sc, sh, k3, b3))
+    want = np.asarray(gn_silu_conv3x3_ref(x, sc, sh, k3, b3))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    # gradients agree too (the LPIPS pixel loss backprops through decode)
+    g1 = jax.grad(lambda xx: jnp.sum(
+        jnp.sin(gn_silu_conv3x3_projected(xx, sc, sh, k3, b3))))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(
+        jnp.sin(gn_silu_conv3x3_ref(xx, sc, sh, k3, b3))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
