@@ -531,6 +531,12 @@ class _UpsampleConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
         k = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        from diffcodec_tpu.ops import conv_pallas as _cp
+        if _cp.upsample_conv_qualifies(x, O):
+            # fused halo-DMA kernel: streams x once, all 16 collapsed taps
+            # per tile, row phases interleaved in-register (measured
+            # 1.24-2.16x at the VAE stages — gate docstring)
+            return _cp.upsample_conv3x3(x, k, bias.astype(self.dtype))
         # collapse rows: [2, 3, C, O] per row phase
         rows = {0: jnp.stack([k[0], k[1] + k[2]], axis=0),
                 1: jnp.stack([k[0] + k[1], k[2]], axis=0)}

@@ -441,3 +441,183 @@ def gn_silu_conv3x3(x, scale, shift, kernel, bias, residual=None):
     if gn_silu_conv_qualifies(x, kernel.shape[-1]):
         return gn_fused(x, scale, shift, kernel, bias, residual)
     return gn_silu_conv3x3_ref(x, scale, shift, kernel, bias, residual)
+
+
+# ---------------- fused nearest-2x upsample + conv3x3 ----------------
+
+def _collapse_upsample_kernel(kernel):
+    """[3,3,C,O] -> [2,2,2,2,C,O] phase taps (di,dj,a,b).
+
+    For nearest-2x upsample + conv3x3, output phase (di,dj) sees only a
+    2x2 window of the ORIGINAL input with adjacent 3x3 taps collapsing
+    onto the same input pixel (models.layers._UpsampleConv doc).  Row
+    collapse: di=0 -> (k0, k1+k2); di=1 -> (k0+k1, k2); same for columns.
+    """
+    k = kernel
+    rows = {0: jnp.stack([k[0], k[1] + k[2]], 0),
+            1: jnp.stack([k[0] + k[1], k[2]], 0)}            # [2,3,C,O]
+    out = []
+    for di in (0, 1):
+        kr = rows[di]
+        cols = {0: jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], 1),
+                1: jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], 1)}
+        out.append(jnp.stack([cols[0], cols[1]], 0))          # [2,2,2,C,O]
+    return jnp.stack(out, 0)                                  # [2,2,2,2,C,O]
+
+
+def _up_kernel(xp_hbm, w_ref, b_ref, o0_ref, o1_ref, xtile, sems):
+    """Each grid step emits 2*Th output rows per column phase: phase rows
+    interleave along the sublane axis via a leading-dim stack+reshape
+    (free in Mosaic — the minor (W, O) dims are untouched)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    Th = o0_ref.shape[1] // 2
+    C = xtile.shape[3]
+    O = o0_ref.shape[3]
+    W = o0_ref.shape[2]
+
+    def dma(slot, row_block):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(row_block * Th, Th + 2)],
+            xtile.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+
+    x = xtile[slot]  # [Th+2, Wp, C] (already silu-free: plain upsample-conv)
+    bias = b_ref[0].astype(jnp.float32)
+    for dj, o_ref in ((0, o0_ref), (1, o1_ref)):
+        phases = []
+        for di in (0, 1):
+            acc = jnp.zeros((Th * W, O), jnp.float32)
+            for bb in range(2):
+                xc = x[:, bb + dj:bb + dj + W, :]
+                for aa in range(2):
+                    xs = xc[aa + di:aa + di + Th].reshape(Th * W, C)
+                    acc += jax.lax.dot_general(
+                        xs, w_ref[di, dj, aa, bb],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            phases.append((acc + bias).reshape(Th, W, O).astype(o_ref.dtype))
+        inter = jnp.stack(phases, 1).reshape(2 * Th, W, O)  # rows 2t+di
+        o_ref[0] = inter
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def upsample_conv3x3_pallas(x, kernel, bias, th: int = 8,
+                            interpret: bool = False):
+    """conv3x3(nearest_up2(x)) SAME.  x [B,H,W,C], kernel [3,3,C,O] HWIO,
+    bias [O] -> [B,2H,2W,O] in x.dtype.  Never materializes the 2x tensor:
+    16 collapsed taps at input resolution, phase rows interleaved
+    in-kernel; the two column phases come back as separate arrays and are
+    interleaved by one XLA pass."""
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    assert H % th == 0 and W % 8 == 0, (H, W, th)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 0)))
+    kp = _collapse_upsample_kernel(kernel).astype(x.dtype)
+    grid = (B, H // th)
+    out0, out1 = pl.pallas_call(
+        _up_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2, 2, 2, 2, C, O), lambda b, i: (0,) * 6,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2 * th, W, O), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * th, W, O), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, 2 * H, W, O), x.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, W + 8, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 16 * B * H * W * C * O,
+            bytes_accessed=2 * B * H * W * (C + 4 * O),
+            transcendentals=0),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, kp, bias.reshape(1, -1))
+    # interleave the column phases: [B,2H,W,2,O] -> [B,2H,2W,O] (adjacent
+    # dim merge = layout-free reshape)
+    return jnp.stack([out0, out1], axis=3).reshape(B, 2 * H, 2 * W, O)
+
+
+def upsample_conv3x3_ref(x, kernel, bias):
+    """XLA reference: nearest-2x then SAME conv3x3 (flax-Conv numerics)."""
+    B, H, W, C = x.shape
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    y = lax.conv_general_dilated(
+        up, kernel.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _up_fused(x, kernel, bias):
+    return upsample_conv3x3_pallas(x, kernel, bias, th=8)
+
+
+def _up_fused_fwd(x, kernel, bias):
+    return _up_fused(x, kernel, bias), (x, kernel, bias)
+
+
+def _up_fused_bwd(res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(upsample_conv3x3_ref, x, kernel, bias)
+    return vjp(g)
+
+
+_up_fused.defvjp(_up_fused_fwd, _up_fused_bwd)
+
+
+def upsample_conv_qualifies(x, out_features: int) -> bool:
+    """Dispatch gate for the fused upsample-conv kernel.  Measured on v5e
+    (chained x10, batch 7 bf16, vs the phase-conv XLA module) at the three
+    VAE decoder upsample stages — scripts/upsample_kernel_experiment.py:
+
+      64x64   512->512:  3.77 vs  4.66 ms (1.24x)   63.9 vs 51.6 TF/s
+      128x128 512->512:  8.72 vs 15.18 ms (1.74x)  110.4 vs 63.4 TF/s
+      256x256 256->256: 10.33 vs 22.31 ms (2.16x)   93.1 vs 43.1 TF/s
+
+    The win grows with spatial extent (XLA's phase convs re-read x four
+    times and pay a full-output interleave pass; the kernel streams x once
+    and interleaves row phases in-register).  Channel bounds cover the
+    measured range; the UNet's 1280-ch upsamplers are excluded (16 collapsed
+    taps at 1280x1280 = 52 MB of VMEM weights, unmeasured)."""
+    B, H, W, C = x.shape
+    return (fused_silu_conv_enabled()
+            and jax.default_backend() == "tpu"
+            and x.dtype == jnp.bfloat16 and H % 8 == 0 and W % 8 == 0
+            and H * W >= 64 * 64 and 128 <= C <= 512
+            and 128 <= out_features <= 512)
+
+
+def upsample_conv3x3(x, kernel, bias):
+    """nearest-2x upsample -> conv3x3 SAME with opt-in Pallas dispatch.
+
+    Falls back to the phase-conv XLA formulation (via the caller,
+    `models.layers._UpsampleConv`) when the gate fails; this entry point
+    is only taken when `upsample_conv_qualifies(x, O)` holds."""
+    return _up_fused(x, kernel, bias)

@@ -214,3 +214,52 @@ def test_projected_head_matches_ref(gn_shapes):
     g2 = jax.grad(lambda xx: jnp.sum(
         jnp.sin(gn_silu_conv3x3_ref(xx, sc, sh, k3, b3))))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
+
+
+def test_upsample_kernel_matches_ref_and_module(shapes):
+    """Fused nearest-2x+conv3x3 kernel == XLA reference == the production
+    _UpsampleConv phase-conv module."""
+    from diffcodec_tpu.models.layers import _UpsampleConv
+    from diffcodec_tpu.ops.conv_pallas import (upsample_conv3x3_pallas,
+                                               upsample_conv3x3_ref)
+    x, k, b = shapes
+    got = np.asarray(upsample_conv3x3_pallas(x, k, b, th=8, interpret=True))
+    want = np.asarray(upsample_conv3x3_ref(x, k, b))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    m = _UpsampleConv(k.shape[-1])
+    out = m.apply({"params": {"kernel": k, "bias": b}}, x)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5, rtol=1e-5)
+
+
+def test_upsample_custom_vjp_matches_ref_grad(shapes):
+    from diffcodec_tpu.ops.conv_pallas import (_up_fused_bwd,
+                                               upsample_conv3x3_ref)
+    x, k, b = shapes
+    out, vjp = jax.vjp(upsample_conv3x3_ref, x, k, b)
+    g = jnp.cos(out)
+    want = vjp(g)
+    got = _up_fused_bwd((x, k, b), g)
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w), atol=1e-5)
+
+
+def test_upsample_gate():
+    from diffcodec_tpu.ops.conv_pallas import upsample_conv_qualifies
+    z = jnp.zeros
+    assert not upsample_conv_qualifies(z((7, 64, 64, 512), jnp.bfloat16), 512)
+    import os
+    os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+        for shp, o in (((7, 64, 64, 512), 512), ((7, 128, 128, 512), 512),
+                       ((7, 256, 256, 256), 256)):
+            assert upsample_conv_qualifies(z(shp, jnp.bfloat16), o) == on_tpu
+        # always-out regardless of backend: UNet 1280-ch, fp32, odd W
+        assert not upsample_conv_qualifies(z((14, 16, 16, 1280),
+                                             jnp.bfloat16), 1280)
+        assert not upsample_conv_qualifies(z((7, 64, 64, 512),
+                                             jnp.float32), 512)
+        assert not upsample_conv_qualifies(z((7, 64, 60, 512),
+                                             jnp.bfloat16), 512)
+    finally:
+        del os.environ["DIFFCODEC_FUSED_SILU_CONV"]
