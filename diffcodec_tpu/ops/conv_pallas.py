@@ -387,13 +387,24 @@ def gn_silu_conv_qualifies(x, out_features: int) -> bool:
         lane padding makes the MXU pass count identical to O=128, so the
         kernel is pass-bound at ~52 TF/s-equivalent and the GN traffic
         saving is noise; the out-head stays on XLA.
+
+    128px extension (the VAE's up1/encoder 512-ch stages), measured the
+    same way:
+      128x128 512->512 +res: b7 6.11 vs 7.81 ms (1.28x), b4 4.55 vs 5.07
+        (1.11x) — IN (the decoder's largest stage, 3 res blocks = 41 ms).
+      128x128 512->256 +res: b7 5.35 vs 5.74 (1.07x) — OUT (tie at b4).
+      128x128 256->512:      b4 3.32 vs 3.27 (0.99x) — OUT.
+      64x64   512->512 +res: b7 3.13 vs 3.23 (1.03x) — OUT (DMA overhead
+        eats the win below ~16k pixels).
     """
     B, H, W, C = x.shape
-    return (fused_silu_conv_enabled()
+    if not (fused_silu_conv_enabled()
             and jax.default_backend() == "tpu"
-            and x.dtype == jnp.bfloat16 and H % 8 == 0 and W % 8 == 0
-            and H * W >= 256 * 256 and 64 <= C <= 512
-            and 64 <= out_features <= 256)
+            and x.dtype == jnp.bfloat16 and H % 8 == 0 and W % 8 == 0):
+        return False
+    if H * W >= 256 * 256 and 64 <= C <= 512 and 64 <= out_features <= 256:
+        return True
+    return H * W >= 128 * 128 and C == 512 and out_features == 512
 
 
 def head_projection_qualifies(x, out_features: int) -> bool:
