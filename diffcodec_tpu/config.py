@@ -138,6 +138,20 @@ class TrainConfig:
     checkpointing_steps: int = 500
     checkpoints_total_limit: Optional[int] = None
     seed: int = 0
+    # rematerialize the ControlNet and UNet forward passes in backward
+    # (jax.checkpoint): trades ~one extra forward of each for the
+    # activation HBM, unlocking larger per-chip batches (batch 12 OOMs
+    # without it) — the analogue of the reference's
+    # --gradient_checkpointing (train_controlnet.py:421, :890-891; we
+    # also cover the frozen UNet, whose activations are equally live in
+    # backward because the loss backprops through it to the residuals)
+    remat: bool = False
+    # store Adam moments in bfloat16 instead of f32 — the TPU-native
+    # analogue of the reference's --use_8bit_adam / bnb.optim.AdamW8bit
+    # (train_controlnet.py:469, :915-923; bf16 moments carry MORE
+    # precision than bnb's 8-bit dynamic quantization).  Saves
+    # 8 bytes/param of HBM (2.8 GB for the SD-scale ControlNet)
+    lowp_adam_moments: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,13 +54,67 @@ def make_lr_schedule(cfg: TrainConfig):
     raise ValueError(f"unknown lr scheduler {cfg.lr_scheduler!r}")
 
 
+def scale_by_adam_lowp(b1: float, b2: float, eps: float,
+                       moment_dtype=jnp.bfloat16):
+    """Adam with both moments STORED in `moment_dtype` (math in f32).
+
+    The TPU-native analogue of the reference's optional
+    `bnb.optim.AdamW8bit` (`train_controlnet.py:469`, `:915-923`): cuts
+    optimizer-state HBM from 8 to 4 bytes/param while keeping more
+    precision than bitsandbytes' 8-bit dynamic quantization (bf16 has an
+    8-bit mantissa vs bnb's shared-exponent blocks).  Update math matches
+    optax.scale_by_adam up to the storage rounding.
+    """
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
+        return optax.ScaleByAdamState(count=jnp.zeros((), jnp.int32),
+                                      mu=jax.tree.map(z, params),
+                                      nu=jax.tree.map(z, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+
+        def upd_mu(g, m):
+            return b1 * m.astype(jnp.float32) + (1 - b1) * g.astype(
+                jnp.float32)
+
+        def upd_nu(g, v):
+            g = g.astype(jnp.float32)
+            return b2 * v.astype(jnp.float32) + (1 - b2) * g * g
+
+        mu = jax.tree.map(upd_mu, updates, state.mu)
+        nu = jax.tree.map(upd_nu, updates, state.nu)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def step(m, v, g):
+            out = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            return out.astype(g.dtype)
+
+        new_updates = jax.tree.map(step, mu, nu, updates)
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(moment_dtype), t)
+        return new_updates, optax.ScaleByAdamState(count=count,
+                                                   mu=cast(mu), nu=cast(nu))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig):
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(make_lr_schedule(cfg), b1=cfg.adam_beta1,
-                    b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
-                    weight_decay=cfg.adam_weight_decay),
-    )
+    if cfg.lowp_adam_moments:
+        adam = optax.chain(
+            scale_by_adam_lowp(cfg.adam_beta1, cfg.adam_beta2,
+                               cfg.adam_epsilon),
+            optax.add_decayed_weights(cfg.adam_weight_decay),
+            optax.scale_by_learning_rate(make_lr_schedule(cfg)),
+        )
+    else:
+        adam = optax.adamw(make_lr_schedule(cfg), b1=cfg.adam_beta1,
+                           b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
+                           weight_decay=cfg.adam_weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx
@@ -127,11 +181,23 @@ class ControlNetTrainer:
                    batch["flow"])
         if residual_mode:
             cn_args = cn_args + (batch["warped"],)
-        down, mid = self.controlnet.apply(cn_params, *cn_args)
-        model_pred = self.unet.apply(
-            frozen["unet"], noisy, timesteps, batch["text_embeds"],
-            down_block_additional_residuals=down,
-            mid_block_additional_residual=mid)
+
+        def cn_fwd(p, *a):
+            return self.controlnet.apply(p, *a)
+
+        def unet_fwd(p, z, t, emb, down, mid):
+            return self.unet.apply(
+                p, z, t, emb, down_block_additional_residuals=down,
+                mid_block_additional_residual=mid)
+
+        if cfg.remat:
+            # reference --gradient_checkpointing analogue (see
+            # TrainConfig.remat): recompute both forwards in backward
+            cn_fwd = jax.checkpoint(cn_fwd)
+            unet_fwd = jax.checkpoint(unet_fwd)
+        down, mid = cn_fwd(cn_params, *cn_args)
+        model_pred = unet_fwd(frozen["unet"], noisy, timesteps,
+                              batch["text_embeds"], down, mid)
 
         loss_mse = diffusion_loss(self.schedule, model_pred, noise, latents,
                                   timesteps)

@@ -15,7 +15,23 @@ remaining small-batch floors further: **561 ms = 14.27 samples/s/chip**
 3.93 TF/sample => 22.5% of spec peak at 354 ms (was 15.7% at 501); see
 BASELINE.md "Training throughput derivation".
 
-Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch)
+2026-08-18 later session, with the widened fused-conv gates: batch 8 =
+**550 ms = 14.55 samples/s/chip** (14.77 with TB_LOWP=1 — less moment
+traffic).  Batch >8 measured as a dead end on ONE chip, recorded so
+nobody retries it blind:
+  * b16 remat:        OOM 17.79/15.75G (remat halves activations but the
+    CN+UNet recompute would add ~350 ms anyway — a predictable NET LOSS
+    at this MFU; remat pays only where batch scaling is superlinear or
+    under multichip fsdp, which is why the flag stays).
+  * b12 remat:        OOM 20.55G — XLA picks a WORSE schedule than b16.
+  * b12 lowp:         OOM 18.64G.
+  * b16 remat+lowp:   OOM 17.73G — bf16 moments cut RESIDENT state by
+    1.4 GB but not the PEAK: the Adam update casts moments to f32
+    transiently, and XLA's buffer assignment keeps whole-tree f32
+    copies live at the peak point.
+
+Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch,
+TB_REMAT=1 for gradient checkpointing, TB_LOWP=1 for bf16 Adam moments)
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,12 +51,15 @@ from diffcodec_tpu.train.trainer import (ControlNetTrainer, TrainState,
                                          make_optimizer)
 
 B = int(os.environ.get("TB_BATCH", "4"))
+REMAT = os.environ.get("TB_REMAT") == "1"
+LOWP = os.environ.get("TB_LOWP") == "1"
 H = 512
 unet = UNet2DConditionModel(UNetConfig(), dtype=jnp.bfloat16)
 cn = DualFlowControlNet(ControlNetConfig(), dtype=jnp.bfloat16)
 vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
 schedule = NoiseSchedule.create(SchedulerConfig())
-cfg = TrainConfig(learning_rate=1e-5, lr_warmup_steps=0, max_train_steps=100)
+cfg = TrainConfig(learning_rate=1e-5, lr_warmup_steps=0, max_train_steps=100,
+                  remat=REMAT, lowp_adam_moments=LOWP)
 mesh = make_mesh(MeshConfig(), devices=jax.devices()[:1])
 
 rng = jax.random.PRNGKey(0)

@@ -55,6 +55,12 @@ def parse_args(argv=None):
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat the ControlNet+UNet forwards in backward "
+                        "(reference train_controlnet.py:421)")
+    p.add_argument("--lowp_adam", action="store_true",
+                   help="bf16 Adam moments — the --use_8bit_adam analogue "
+                        "(reference train_controlnet.py:469)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--perceptual_weight", type=float, default=0.0)
     p.add_argument("--lpips_checkpoint", default="",
@@ -206,7 +212,8 @@ def main(argv=None):
         lpips_weight=args.perceptual_weight, edge_weight=args.edge_weight,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
-        seed=args.seed)
+        seed=args.seed, remat=args.gradient_checkpointing,
+        lowp_adam_moments=args.lowp_adam)
     schedule = NoiseSchedule.create(SchedulerConfig())
     trainer = ControlNetTrainer(unet=unet, controlnet=controlnet, vae=vae,
                                 schedule=schedule, config=tcfg,

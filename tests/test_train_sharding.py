@@ -265,3 +265,65 @@ def test_sharded_distill_step_matches_single_device():
         for x, y in zip(jax.tree.leaves(tree1), jax.tree.leaves(tree2)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=2e-3, atol=3 * lr)
+
+
+@pytest.mark.slow
+def test_remat_step_matches_plain():
+    """cfg.remat=True (the reference's --gradient_checkpointing analogue,
+    train_controlnet.py:421,:890-891) must not change the math — only the
+    activation schedule."""
+    rng = jax.random.PRNGKey(0)
+    unet, controlnet, vae, cn_params, frozen, batch = _tiny_setup(rng)
+    schedule = NoiseSchedule.create(SchedulerConfig())
+    states = []
+    for remat in (False, True):
+        cfg = TrainConfig(learning_rate=1e-4, lr_warmup_steps=0,
+                          max_train_steps=10, remat=remat)
+        trainer = ControlNetTrainer(unet=unet, controlnet=controlnet,
+                                    vae=vae, schedule=schedule, config=cfg)
+        state = TrainState.create(cn_params, make_optimizer(cfg))
+        state, m = trainer.train_step(state, frozen, batch,
+                                      jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss_mse"]))
+        states.append(state)
+    # recompute reorders fp reductions, which can nudge Adam's +-lr first
+    # update on near-zero-gradient elements (same effect as the sharded
+    # test above) — tolerance covers that, not real divergence
+    for a, b in zip(jax.tree.leaves(states[0].params),
+                    jax.tree.leaves(states[1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
+
+
+def test_lowp_adam_matches_adamw():
+    """bf16-moment Adam (the --use_8bit_adam analogue) must track fp32
+    optax.adamw: same state tree STRUCTURE (fsdp sharding rules apply
+    unchanged) and updates within bf16 moment rounding."""
+    import dataclasses
+
+    import optax
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(32, 16), jnp.float32),
+              "b": jnp.asarray(rng.randn(16), jnp.float32)}
+    cfg_f32 = TrainConfig(learning_rate=1e-3, lr_warmup_steps=0,
+                          max_train_steps=100)
+    cfg_lowp = dataclasses.replace(cfg_f32, lowp_adam_moments=True)
+    tx1, tx2 = make_optimizer(cfg_f32), make_optimizer(cfg_lowp)
+    s1, s2 = tx1.init(params), tx2.init(params)
+    assert (jax.tree.structure(s1) == jax.tree.structure(s2))
+    # moments actually stored in bf16
+    n_bf16 = sum(m.dtype == jnp.bfloat16 for m in jax.tree.leaves(s2)
+                 if hasattr(m, "dtype"))
+    assert n_bf16 == 4  # mu + nu for each of the two params
+    p1, p2 = dict(params), dict(params)
+    for step in range(5):
+        g = {"w": jnp.asarray(rng.randn(32, 16), jnp.float32) * 0.1,
+             "b": jnp.asarray(rng.randn(16), jnp.float32) * 0.1}
+        u1, s1 = tx1.update(g, s1, p1)
+        u2, s2 = tx2.update(g, s2, p2)
+        p1 = optax.apply_updates(p1, u1)
+        p2 = optax.apply_updates(p2, u2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=2e-5)
