@@ -265,15 +265,20 @@ def main():
         # flag this point was built with before the tiled trace
         os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
         pipe = pipes[suffix]
+        # CFG pipes: tile_batch 5 (CFG batch 10; batch 16 falls off the
+        # HBM cliff).  The distilled student has no CFG doubling and the
+        # fused VAE freed the HBM, so all 15 tiles go in ONE launch
+        # (measured 3.29 vs 5.13 s/frame at tile_batch 5).
+        tb = 15 if suffix.startswith("distilled") else 5
         t0 = time.time()
         sample_tiled(pipe, params, jax.random.PRNGKey(5), text_hd, text_hd,
                      cond_hd, flow_hd, tile=(512, 512), overlap=64,
-                     tile_batch=5)
+                     tile_batch=tb)
         first = time.time() - t0
         t0 = time.time()
         sample_tiled(pipe, params, jax.random.PRNGKey(6), text_hd, text_hd,
                      cond_hd, flow_hd, tile=(512, 512), overlap=64,
-                     tile_batch=5)
+                     tile_batch=tb)
         dt = time.time() - t0
         if suffix.startswith("distilled"):
             name = f"decoded_frames_per_sec_1080p_tiled_{suffix}"
