@@ -31,7 +31,52 @@ from diffcodec_tpu.models.layers import ConvBlock, GroupNorm32, ZeroConv
 from diffcodec_tpu.ops.flow import (compute_occlusion_mask,
                                     resize_and_normalize_flow,
                                     resize_flow_by_factor, soft_fuse)
+from diffcodec_tpu.ops.packed_conv import (packed_chain_enabled,
+                                           packed_chain_qualifies,
+                                           reference_chain,
+                                           run_packed_chain)
 from diffcodec_tpu.ops.softsplat import softsplat
+
+
+class _Conv3x3Params(nn.Module):
+    """nn.Conv-parameter-compatible holder (same names/shapes/inits) so the
+    pre-extractor chains can dispatch between the plain conv path and the
+    packed-lane chain (`ops/packed_conv.py`) without touching the param
+    tree that the torch converters and checkpoints rely on."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _silu_conv_chain(x, specs, name, make_params, dtype):
+    """conv3x3(+bias)+SiLU chain with packed-lane dispatch.
+
+    `specs` = [(out_ch, stride), ...]; params named f"{name}_{i}" with
+    nn.Conv-identical trees.  The reference path reproduces
+    nn.Conv(dtype=dtype) numerics exactly (promote to dtype, conv SAME,
+    bias add in dtype); the packed path is the same math with dense
+    lane packing (f32 accumulation either way)."""
+    cin = x.shape[-1]
+    kernels, biases, strides = [], [], []
+    for i, (ch, s) in enumerate(specs):
+        k, b = make_params(f"{name}_{i}", ch, cin)
+        kernels.append(k.astype(dtype))
+        biases.append(b.astype(dtype))
+        strides.append(s)
+        cin = ch
+    x = x.astype(dtype)
+    if packed_chain_enabled() and packed_chain_qualifies(x, kernels,
+                                                         strides):
+        return run_packed_chain(x, kernels, biases, strides)
+    return reference_chain(x, kernels, biases, strides)
 
 
 class FDN(nn.Module):
@@ -96,15 +141,14 @@ class BiDirFeatureExtractor(nn.Module):
         flow_fwd = flow[..., 0:2]
         flow_bwd = flow[..., 2:4]
 
+        def make_params(pname, ch, cin):
+            return _Conv3x3Params(ch, cin, name=pname)()
+
         def pre_extractor(name):
             def apply(x):
                 specs = [(16, 1), (32, 2), (32, 1), (64, 2), (64, 1)]
-                for k, (ch, s) in enumerate(specs):
-                    x = nn.Conv(ch, (3, 3), strides=(s, s),
-                                padding=((1, 1), (1, 1)), dtype=self.dtype,
-                                name=f"{name}_{k}")(x)
-                    x = nn.silu(x)
-                return x
+                return _silu_conv_chain(x, specs, name, make_params,
+                                        self.dtype)
             return apply
 
         f_first = pre_extractor("first_pre")(first)   # H/4, 64ch
@@ -171,12 +215,10 @@ class BiDirResidueExtractor(nn.Module):
 
         def pre(name, x):
             specs = [(32, 1), (64, 2), (64, 2)]
-            for k, (ch, s) in enumerate(specs):
-                x = nn.Conv(ch, (3, 3), strides=(s, s),
-                            padding=((1, 1), (1, 1)), dtype=self.dtype,
-                            name=f"{name}_{k}")(x)
-                x = nn.silu(x)
-            return x
+            return _silu_conv_chain(
+                x, specs, name,
+                lambda pname, ch, cin: _Conv3x3Params(ch, cin, name=pname)(),
+                self.dtype)
 
         f_prev = pre("prev_pre", prev_frame)  # H/4
         f_next = pre("next_pre", next_frame)
