@@ -24,9 +24,12 @@ Modes (`softsplat.py:232-273` of the reference):
 
 TPU design notes
 ----------------
-GPU uses `atomicAdd`; TPUs have no scatter atomics and XLA scatter-add with
-colliding indices serialises.  Instead we use the *one-hot two-matmul*
-formulation: with q indexing flattened source pixels,
+GPU uses `atomicAdd`; TPUs have no scatter atomics.  Two deterministic
+formulations coexist here, dispatched per shape by measurement
+(`_dispatch_tpu`): a true XLA scatter-add (`_splat_sum_scatter`, linear
+cost, gather VJP — wins at large H*W with wide C) and the *one-hot
+two-matmul* form (wins at tiny C / tiny planes): with q indexing
+flattened source pixels,
 
     out[Y, X, c] = sum_q  A[q, Y] * Bw[q, X] * vals[q, c]
                  = A^T  @  (Bw broadcast-times vals)      (per corner)
@@ -166,6 +169,31 @@ def _splat_sum_xla(vals: jnp.ndarray, flow: jnp.ndarray,
     return out
 
 
+def _splat_sum_scatter(vals: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """True scatter-add splat: one flat `.at[].add` over all 4 corners.
+
+    XLA lowers this deterministically on TPU (no atomics; fixed reduction
+    order), it moves O(4*H*W*C) floats instead of the one-hot forms'
+    4*H^2*W^2*C MACs, and its autodiff VJP is a gather.  Measured
+    (artifacts/splat_impl_experiment.json, chained with flow-varying
+    feedback): 7.9 vs 27.0 (pallas) / 70.9 (xla) ms at [14,64,64,161];
+    gradient 10.3 vs 163.1 ms.  The one-hot forms keep winning at tiny C
+    (occlusion masks) and tiny H*W — see `_dispatch_tpu`."""
+    B, H, W, C = vals.shape
+    vals = vals.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
+    terms = _corner_terms(flow, H, W)
+    bix = jnp.arange(B, dtype=jnp.int32)[:, None] * (H * W)
+    idx = jnp.stack([(t[0] * W + t[1]).reshape(B, H * W) for t in terms],
+                    axis=1).reshape(B, 4 * H * W) + bix
+    wts = jnp.stack([t[2].reshape(B, H * W) for t in terms], axis=1)
+    contrib = wts[..., None] * vals.reshape(B, 1, H * W, C)
+    out = jnp.zeros((B * H * W, C), jnp.float32)
+    out = out.at[idx.reshape(-1)].add(contrib.reshape(-1, C), mode="drop",
+                                      unique_indices=False)
+    return out.reshape(B, H, W, C)
+
+
 def _splat_sum_oracle(vals: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Reference scatter-add implementation via indexed adds (test oracle)."""
     B, H, W, C = vals.shape
@@ -181,13 +209,55 @@ def _splat_sum_oracle(vals: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _dispatch_tpu(vals):
+    """Measured per-shape winner on v5e with flow-VARYING chained feedback
+    (artifacts/splat_impl_experiment.json; the earlier flow-invariant
+    timings hoisted the one-hot construction and were ~50x too low):
+
+        64x64x161: scatter 7.9 | pallas 27.0 | xla 70.9   ms
+        32x32x161: scatter 2.4 | pallas  4.0 | xla  9.3
+        16x16x321: pallas  2.1 | scatter 2.5 | xla  3.9
+        8x8x641:   xla     2.0 | scatter 2.2 | pallas 3.0
+        64x64x3:   xla     2.3 | scatter 4.0 | pallas 11.6
+        32x32x3:   xla     1.8 | scatter 2.1 | pallas 2.6
+
+    Returns 'scatter' | 'pallas' | 'xla'."""
+    B, H, W, C = vals.shape
+    if H * W > 4096:
+        # beyond the measured table the one-hot forms' 4*(HW)^2*C MACs
+        # explode quadratically (512px pixel-space warps in the residue
+        # path would cost teraflops); the scatter form stays linear
+        return "scatter"
+    if C <= 8:
+        return "xla"
+    if H * W >= 1024:
+        return "scatter"
+    if H * W >= 256:
+        return "pallas"
+    return "xla"
+
+
+def _splat_sum_diff(vals, flow):
+    """Differentiable dispatch (scatter / xla — both plain-autodiff); used
+    for the custom-vjp backward so training gets the gather-VJP of the
+    scatter form at big shapes (163 -> 10 ms at the extractor hot shape)."""
+    if (jax.default_backend() == "tpu"
+            and _dispatch_tpu(vals) == "scatter"):
+        return _splat_sum_scatter(vals, flow)
+    return _splat_sum_xla(vals, flow)
+
+
 @jax.custom_vjp
 def _splat_sum_auto(vals, flow):
-    """Forward: fused Pallas kernel on TPU (measured ~1.6x the XLA scan at
-    the extractor's hot 64x64x161 shape, bit-exact), XLA elsewhere."""
+    """Forward: measured per-shape dispatch on TPU (see `_dispatch_tpu`),
+    XLA one-hot elsewhere."""
     if jax.default_backend() == "tpu":
-        from diffcodec_tpu.ops.softsplat_pallas import splat_sum_pallas
-        return splat_sum_pallas(vals, flow)
+        kind = _dispatch_tpu(vals)
+        if kind == "scatter":
+            return _splat_sum_scatter(vals, flow)
+        if kind == "pallas":
+            from diffcodec_tpu.ops.softsplat_pallas import splat_sum_pallas
+            return splat_sum_pallas(vals, flow)
     return _splat_sum_xla(vals, flow)
 
 
@@ -196,11 +266,11 @@ def _splat_sum_auto_fwd(vals, flow):
 
 
 def _splat_sum_auto_bwd(res, ct):
-    # backward through the differentiable XLA formulation (recompute-style);
+    # backward through the differentiable dispatch (recompute-style);
     # matches the reference ingrad/flowgrad kernels — see the module
     # docstring and tests/test_softsplat.py
     vals, flow = res
-    _, vjp = jax.vjp(_splat_sum_xla, vals, flow)
+    _, vjp = jax.vjp(_splat_sum_diff, vals, flow)
     return tuple(vjp(ct))
 
 
@@ -211,8 +281,9 @@ def splat_sum(vals: jnp.ndarray, flow: jnp.ndarray, *,
               impl: str = "auto") -> jnp.ndarray:
     """Core 'sum'-mode forward splat. fp32 compute, returns input dtype.
 
-    impl: 'auto' (Pallas forward on TPU + XLA autodiff backward) | 'xla' |
-    'pallas' | 'oracle'.
+    impl: 'auto' (measured per-shape dispatch on TPU + differentiable
+    backward, see `_dispatch_tpu`) | 'xla' | 'scatter' | 'pallas' |
+    'oracle'.
     """
     dtype = vals.dtype
     if impl == "auto":
@@ -220,6 +291,8 @@ def splat_sum(vals: jnp.ndarray, flow: jnp.ndarray, *,
                               flow.astype(jnp.float32))
     elif impl == "xla":
         out = _splat_sum_xla(vals, flow)
+    elif impl == "scatter":
+        out = _splat_sum_scatter(vals, flow)
     elif impl == "oracle":
         out = _splat_sum_oracle(vals, flow)
     elif impl == "pallas":

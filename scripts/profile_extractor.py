@@ -89,9 +89,15 @@ def main():
                                (2 * B, res, res, 2), jnp.float32) * 2.0
         metric = jax.random.normal(jax.random.PRNGKey(10 + idx),
                                    (2 * B, res, res, 1), jnp.float32)
+        # feedback must perturb the FLOW too: with flow loop-invariant the
+        # one-hot construction (the dominant cost of the matmul-form splat)
+        # hoists out of the chain and the op reads ~50x too low — this is
+        # how the round-2 profile missed ~41 ms/decode of splat cost
+        # (artifacts/extractor_knockout.json)
         time_ms(f"warper_splat_s{idx}_{res}px_{half}ch",
                 lambda v, f, m: softsplat(v, f, m, "soft"),
-                lambda out, a: (out, a[1], a[2]),
+                lambda out, a: (out, a[1] + (jnp.sum(out) * 1e-12
+                                             ).astype(a[1].dtype), a[2]),
                 feats, fl, metric, rep=64)
 
     # occlusion masks at each scale (batch 2B like the module: both
@@ -104,7 +110,9 @@ def main():
         time_ms(f"occlusion_s{idx}_{res}px",
                 lambda a_, b_: compute_occlusion_mask(a_, b_),
                 lambda out, a: (a[0] + (jnp.sum(out.astype(jnp.float32)) *
-                                        1e-12).astype(a[0].dtype), a[1]),
+                                        1e-12).astype(a[0].dtype),
+                                a[1] + (jnp.sum(out.astype(jnp.float32)) *
+                                        1e-12).astype(a[1].dtype)),
                 f2, b2, rep=64)
 
     # flow resizes (full res -> each scale, both directions)

@@ -31,27 +31,10 @@ import numpy as np
 
 from profile_decode import chained_time
 
-from diffcodec_tpu.ops.softsplat import (_corner_terms, _splat_sum_xla,
-                                         splat_sum)
+from diffcodec_tpu.ops.softsplat import (_splat_sum_scatter as
+                                         splat_sum_scatter,
+                                         _splat_sum_xla)
 from diffcodec_tpu.ops.softsplat_pallas import splat_sum_pallas
-
-
-def splat_sum_scatter(vals, flow):
-    """Flat scatter-add over all 4 corners at once (fp32, NHWC)."""
-    B, H, W, C = vals.shape
-    vals = vals.astype(jnp.float32)
-    flow = flow.astype(jnp.float32)
-    terms = _corner_terms(flow, H, W)
-    # global flat destination index [B, 4, H, W] -> [B, 4*H*W]
-    bix = jnp.arange(B, dtype=jnp.int32)[:, None] * (H * W)
-    idx = jnp.stack([(t[0] * W + t[1]).reshape(B, H * W) for t in terms],
-                    axis=1).reshape(B, 4 * H * W) + bix
-    wts = jnp.stack([t[2].reshape(B, H * W) for t in terms], axis=1)
-    contrib = wts[..., None] * vals.reshape(B, 1, H * W, C)
-    out = jnp.zeros((B * H * W, C), jnp.float32)
-    out = out.at[idx.reshape(-1)].add(
-        contrib.reshape(-1, C), mode="drop", unique_indices=False)
-    return out.reshape(B, H, W, C)
 
 
 SHAPES = [  # (B, H, W, C) at the extractor's call sites (warper + occl)

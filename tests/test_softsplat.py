@@ -65,7 +65,8 @@ def _rand(shape, seed, scale=1.0):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
-@pytest.mark.parametrize("impl", ["xla", "oracle", "pallas", "auto"])
+@pytest.mark.parametrize("impl", ["xla", "oracle", "pallas", "auto",
+                                  "scatter"])
 @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 16, 12, 5)])
 def test_splat_sum_matches_numpy(impl, shape):
     B, H, W, C = shape
@@ -144,6 +145,13 @@ def test_splat_grads_match_oracle_impl():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ga_f), np.asarray(gx_f),
                                rtol=1e-5, atol=1e-6)
+    # the linear-cost scatter form (TPU-dispatched at big shapes) must
+    # carry the same gradients as the one-hot forms
+    gs_v, gs_f = jax.grad(loss("scatter"), argnums=(0, 1))(vals, flow)
+    np.testing.assert_allclose(np.asarray(gs_v), np.asarray(gx_v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gx_f),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_splat_value_grad_is_gather():
