@@ -35,10 +35,22 @@ cost analysis (scripts/flops_report.py) at an assumed 5.5% effective A100
 MFU — see BASELINE.md "Throughput baseline derivation" for the full
 arithmetic and the 0.25-0.40 fps plausibility band.
 
-Output: one JSON line per operating point, exact mode first.
+Output: one JSON line per operating point, exact mode first; the LAST
+line is always a re-emit of the exact record (the driver parses the final
+line as the headline — BENCH_r03 recorded the distilled mechanism point as
+the headline because it happened to print last, over-crediting by 8x).
+
+The bare run (as the driver invokes it) is sized to finish inside the
+driver budget even on a cold compile cache: exact + exact_fusedconv +
+distilled4 (~400-600 s of cold compiles; the full 8-point matrix measured
+~1,250 s of compiles in r03 and timed out, rc=124).  Set BENCH_FULL=1 for
+the full matrix: caching intervals, 2-GOP distilled, and the 1080p tiled
+points.
+
 Env knobs: BENCH_SMALL=1 (tiny wiring check), BENCH_BATCH=n (GOP batch),
-BENCH_POINTS=exact,cnint3 (filter the matrix), BENCH_1080=0 (skip the
-tiled full-HD points).
+BENCH_POINTS=exact,cnint3 (filter the matrix), BENCH_FULL=1 (full matrix
+incl. 1080p), BENCH_1080=1/0 (force the tiled full-HD points on/off),
+BENCH_DISTILL=0 (skip the distilled point).
 """
 
 import json
@@ -75,6 +87,9 @@ BASELINE_FPS = 0.25  # estimated reference PyTorch pipeline, see docstring
 POINTS = [
     ("exact", 1, 1, False),
     ("exact_fusedconv", 1, 1, True),
+]
+# the cached-mode tail runs only under BENCH_FULL=1 (driver-budget guard)
+FULL_POINTS = [
     ("cnint2", 2, 1, True),
     ("cnint3", 3, 1, True),
     ("encint2", 1, 2, True),
@@ -133,9 +148,11 @@ def main():
     H = 128 if small else 512
     steps = 5 if small else 30
     dtype = jnp.bfloat16
+    full = os.environ.get("BENCH_FULL") == "1"
+    matrix = POINTS + FULL_POINTS if full else list(POINTS)
     want = os.environ.get("BENCH_POINTS")
-    points = POINTS if not want else [
-        p for p in POINTS if p[0] in want.split(",")]
+    points = matrix if not want else [
+        p for p in POINTS + FULL_POINTS if p[0] in want.split(",")]
     # legacy single-point knobs (round-2 CLI compat)
     if "BENCH_CN_INTERVAL" in os.environ or "BENCH_ENC_INTERVAL" in os.environ:
         ci = int(os.environ.get("BENCH_CN_INTERVAL", "1"))
@@ -157,6 +174,7 @@ def main():
     base = ("decoded_frames_per_sec_512px_30step_unipc_cfg"
             if not small else "decoded_frames_per_sec_small")
     pipes = {}
+    exact_record = None
     for suffix, ci, ei, fused in points:
         # read at trace time by ops/conv_pallas.silu_conv3x3; each point
         # jits its own pipeline object, so the setting binds per point
@@ -185,7 +203,10 @@ def main():
             times.append(time.time() - t1)
         best = min(times)
         fps = B / best
-        emit(base if suffix == "exact" else f"{base}_{suffix}", fps)
+        name = base if suffix == "exact" else f"{base}_{suffix}"
+        emit(name, fps)
+        if suffix == "exact":
+            exact_record = (name, fps)
         print(f"# {suffix}: first(compile+run)={compile_and_first:.1f}s "
               f"steady={best:.3f}s/batch batch={B} times={times}",
               file=sys.stderr)
@@ -220,7 +241,7 @@ def main():
              B / min(times))
         print(f"# distilled{K}step: first={first:.1f}s "
               f"steady={min(times):.3f}s/batch batch={B}", file=sys.stderr)
-        if not small and B == 7:
+        if full and not small and B == 7:
             # two GOPs in flight: the fused VAE decode (149 ms vs 320 at
             # batch 7) freed enough HBM for batch 14, which amortizes the
             # K-step loop's small-batch floors (+21% measured).  The exact
@@ -243,7 +264,15 @@ def main():
             print(f"# distilled{K}step 2-GOP: steady={min(times):.3f}"
                   f"s/batch batch={b2}", file=sys.stderr)
 
-    if small or os.environ.get("BENCH_1080") == "0":
+    def emit_exact_summary():
+        # ALWAYS the last line: the driver parses the final JSON line as
+        # the round's headline, which must be the exact point.
+        if exact_record is not None:
+            emit(exact_record[0], exact_record[1])
+
+    run_1080 = os.environ.get("BENCH_1080", "1" if full else "0") == "1"
+    if small or not run_1080:
+        emit_exact_summary()
         return
     # full-HD tiled operating points (patch_utils parity path): one 1080p
     # frame = 15 overlapping 512px tiles in 3 equal chunks of 5 (CFG batch
@@ -288,6 +317,7 @@ def main():
         emit(name, 1.0 / dt, extra={"seconds_per_frame": round(dt, 2)})
         print(f"# 1080p {suffix}: first(compile+run)={first:.1f}s "
               f"steady={dt:.1f}s/frame", file=sys.stderr)
+    emit_exact_summary()
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ not ride the `DIFFCODEC_FUSED_SILU_CONV` umbrella flag the bench sets.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

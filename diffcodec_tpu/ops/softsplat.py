@@ -212,7 +212,12 @@ def _splat_sum_oracle(vals: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 def _dispatch_tpu(vals):
     """Measured per-shape winner on v5e with flow-VARYING chained feedback
     (artifacts/splat_impl_experiment.json; the earlier flow-invariant
-    timings hoisted the one-hot construction and were ~50x too low):
+    timings hoisted the one-hot construction and were ~50x too low).
+    All rows measured at B=14 (the extractor's CFG batch); the heuristic
+    keys on H*W and C only, since the one-hot forms' 4*(HW)^2*C MAC cost
+    and the scatter form's 4*HW*C move cost both scale linearly in B, so
+    the crossover shape is ~B-independent.  Re-measure the table (one
+    script run) if a future toolchain shifts the scatter lowering.
 
         64x64x161: scatter 7.9 | pallas 27.0 | xla 70.9   ms
         32x32x161: scatter 2.4 | pallas  4.0 | xla  9.3

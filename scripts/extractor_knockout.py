@@ -9,9 +9,11 @@ same shapes; the delta vs the full module attributes the cost IN CONTEXT.
 Writes artifacts/extractor_knockout.json.
 """
 
+import contextlib
 import json
 import os
 import sys
+from unittest import mock
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
@@ -51,49 +53,54 @@ def time_module(name, report, B=7, H=512):
     print(f"{name}: {ms:.2f} ms", flush=True)
 
 
+# Stub op families to near-free but DATA-DEPENDENT outputs: a pure
+# jnp.zeros stub lets XLA constant-fold every downstream consumer (the
+# warped*(1-mask) multiply, the soft_fuse occlusion terms), which would
+# over-attribute cost to the stubbed family.  A broadcast 1e-6*mean keeps
+# every downstream edge live for ~one reduction's cost.
+def _dep_fill(x, shape, dtype):
+    return jnp.broadcast_to(
+        (jnp.mean(x.astype(jnp.float32)) * 1e-6).astype(dtype), shape)
+
+
+STUBS = {
+    # splats -> pass-through + live dep on flow (keeps shapes/dtypes; the
+    # occlusion helper has its own softsplat import, so patching the
+    # warper-level name leaves occlusion intact)
+    "softsplat": lambda v, f, m, mode: v + _dep_fill(f, v.shape, v.dtype),
+    "compute_occlusion_mask": lambda f, b: _dep_fill(
+        b, f.shape[:3] + (1,), f.dtype),
+    "soft_fuse": lambda wf, wl, cf, cl, of=None, ol=None: (
+        wf + _dep_fill(wl, wf.shape, wf.dtype)),
+    "resize_and_normalize_flow": lambda f, h, w: _dep_fill(
+        f, (f.shape[0], h, w, 2), f.dtype),
+}
+
+
+@contextlib.contextmanager
+def knocked_out(*names):
+    """Patch the named ex.* ops with their stubs; always restores."""
+    with contextlib.ExitStack() as stack:
+        for n in names:
+            stack.enter_context(mock.patch.object(ex, n, STUBS[n]))
+        yield
+
+
 def main():
     report = {}
-    orig_splat = ex.softsplat
-    orig_occ = ex.compute_occlusion_mask
-    orig_fuse = ex.soft_fuse
-    orig_resize = ex.resize_and_normalize_flow
-
     time_module("full", report)
-
-    # splats -> identity (keeps shapes/dtypes; also inside occlusion the
-    # module's own call sites — occlusion has its own softsplat import, so
-    # patch only the warper-level one here)
-    ex.softsplat = lambda v, f, m, mode: v
-    time_module("no_warper_splat", report)
-    ex.softsplat = orig_splat
-
-    ex.compute_occlusion_mask = lambda f, b: jnp.zeros(
-        f.shape[:3] + (1,), f.dtype)
-    time_module("no_occlusion", report)
-    ex.compute_occlusion_mask = orig_occ
-
-    ex.soft_fuse = lambda wf, wl, cf, cl, of=None, ol=None: wf
-    time_module("no_soft_fuse", report)
-    ex.soft_fuse = orig_fuse
-
-    ex.resize_and_normalize_flow = lambda f, h, w: jnp.zeros(
-        (f.shape[0], h, w, 2), f.dtype)
-    time_module("no_flow_resize", report)
-    ex.resize_and_normalize_flow = orig_resize
-
+    with knocked_out("softsplat"):
+        time_module("no_warper_splat", report)
+    with knocked_out("compute_occlusion_mask"):
+        time_module("no_occlusion", report)
+    with knocked_out("soft_fuse"):
+        time_module("no_soft_fuse", report)
+    with knocked_out("resize_and_normalize_flow"):
+        time_module("no_flow_resize", report)
     # everything flow-dependent out at once: how much is the pure conv
     # spine (pre-chains + pyramid convs + metric nets + zero convs)?
-    ex.softsplat = lambda v, f, m, mode: v
-    ex.compute_occlusion_mask = lambda f, b: jnp.zeros(
-        f.shape[:3] + (1,), f.dtype)
-    ex.soft_fuse = lambda wf, wl, cf, cl, of=None, ol=None: wf
-    ex.resize_and_normalize_flow = lambda f, h, w: jnp.zeros(
-        (f.shape[0], h, w, 2), f.dtype)
-    time_module("conv_spine_only", report)
-    ex.softsplat = orig_splat
-    ex.compute_occlusion_mask = orig_occ
-    ex.soft_fuse = orig_fuse
-    ex.resize_and_normalize_flow = orig_resize
+    with knocked_out(*STUBS):
+        time_module("conv_spine_only", report)
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/extractor_knockout.json", "w") as f:

@@ -27,7 +27,6 @@ enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from profile_decode import chained_time
 
