@@ -57,6 +57,48 @@ def fvd_score(videos1: np.ndarray, videos2: np.ndarray,
     return activations_to_frechet(feature_fn(videos1), feature_fn(videos2))
 
 
+def fvd_sweep(videos1: np.ndarray, videos2: np.ndarray,
+              feature_fn: Callable[[np.ndarray], np.ndarray],
+              calculate_per_frame: int = 5,
+              calculate_final: bool = True) -> dict:
+    """Clip-length-sweep FVD driver.
+
+    Parity target: `fvd_utils/calculate_fvd.py:16-65` — for every clip
+    length ``k`` in ``range(per_frame, T+1, per_frame)`` with ``k >= 10``
+    (I3D needs >= 10 frames), compute FVD over the first ``k`` frames of
+    both video batches, plus an optional 'final' full-length entry.
+    Greyscale inputs ([N,T,H,W,1]) are channel-tripled like the
+    reference's ``trans()`` (`calculate_fvd.py:6-14`); layout here is
+    [N,T,H,W,C] in [0,1] (the reference permutes BTCHW->BCTHW for torch —
+    a layout detail, not semantics).
+
+    Returns the reference's result dict shape: ``{"fvd": {"[:k]": val,
+    ..., "final": val}, "fvd_per_frame", "fvd_video_setting",
+    "fvd_video_setting_name"}``.
+    """
+    if videos1.shape != videos2.shape:
+        raise ValueError(f"shape mismatch {videos1.shape} vs "
+                         f"{videos2.shape}")
+    if videos1.shape[-1] == 1:
+        videos1 = np.repeat(videos1, 3, axis=-1)
+        videos2 = np.repeat(videos2, 3, axis=-1)
+    T = videos1.shape[1]
+    results = {}
+    for k in range(calculate_per_frame, T + 1, calculate_per_frame):
+        if k < 10:  # calculate_fvd.py:38-39
+            continue
+        results[f"[:{k}]"] = fvd_score(videos1[:, :k], videos2[:, :k],
+                                       feature_fn)
+    if calculate_final:
+        results["final"] = fvd_score(videos1, videos2, feature_fn)
+    return {
+        "fvd": results,
+        "fvd_per_frame": calculate_per_frame,
+        "fvd_video_setting": tuple(videos1.shape),
+        "fvd_video_setting_name": "batch_size, time, height, width, channel",
+    }
+
+
 def make_i3d_feature_fn(variables, batch_size: int = 4):
     """FVD feature fn backed by the flax InceptionI3D port
     (diffcodec_tpu.models.i3d) — runs on TPU.

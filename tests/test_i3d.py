@@ -58,3 +58,44 @@ def test_fvd_with_flax_i3d_features(tiny_i3d):
     d_diff = fvd_score(v1, np.clip(v2 * 0.2, 0, 1), fn)
     assert abs(d_same) < 1e-6
     assert d_diff > 0
+
+
+def test_fvd_sweep_clip_length_driver():
+    """Parity with `fvd_utils/calculate_fvd.py:16-65`: clip lengths from
+    `per_frame` stepping by `per_frame`, entries below 10 frames skipped,
+    optional 'final' full-length entry, greyscale channel-tripled, each
+    entry equal to a direct fvd_score on the clip prefix."""
+    from diffcodec_tpu.eval.frechet import fvd_sweep
+
+    # cheap deterministic feature fn: per-video mean/std stats (shape-only
+    # dependence on T, so clip prefixes give distinct features)
+    def feature_fn(videos):
+        v = videos.reshape(videos.shape[0], -1)
+        return np.stack([v.mean(1), v.std(1), v[:, ::7][:, :16].mean(1),
+                         (v ** 2).mean(1)], axis=1)
+
+    rng = np.random.default_rng(0)
+    v1 = rng.random((6, 22, 8, 8, 3)).astype(np.float32)
+    v2 = rng.random((6, 22, 8, 8, 3)).astype(np.float32)
+    out = fvd_sweep(v1, v2, feature_fn, calculate_per_frame=5,
+                    calculate_final=True)
+    # range(5, 23, 5) = 5,10,15,20 -> 5 skipped (<10)
+    assert sorted(out["fvd"]) == sorted(["[:10]", "[:15]", "[:20]", "final"])
+    assert out["fvd_per_frame"] == 5
+    assert out["fvd_video_setting"] == (6, 22, 8, 8, 3)
+    np.testing.assert_allclose(out["fvd"]["[:15]"],
+                               fvd_score(v1[:, :15], v2[:, :15], feature_fn))
+    np.testing.assert_allclose(out["fvd"]["final"],
+                               fvd_score(v1, v2, feature_fn))
+
+    # greyscale input is channel-tripled (calculate_fvd.py:6-14)
+    g1, g2 = v1[..., :1], v2[..., :1]
+    out_g = fvd_sweep(g1, g2, feature_fn, calculate_per_frame=10,
+                      calculate_final=False)
+    t1 = np.repeat(g1, 3, axis=-1)
+    t2 = np.repeat(g2, 3, axis=-1)
+    np.testing.assert_allclose(out_g["fvd"]["[:10]"],
+                               fvd_score(t1[:, :10], t2[:, :10], feature_fn))
+
+    with pytest.raises(ValueError):
+        fvd_sweep(v1, v2[:3], feature_fn)
