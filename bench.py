@@ -281,7 +281,9 @@ def main():
     from diffcodec_tpu.sampling.tiled import sample_tiled
     H2, W2 = 1080, 1920
     rng = np.random.default_rng(0)
-    cond_hd = rng.random((1, H2, W2, 6), dtype=np.float32)
+    # uint8 conditioning: raw 1-byte transfer, normalized on device (the
+    # real decoder's conditioning is decoded anchor pixels = uint8 source)
+    cond_hd = rng.integers(0, 256, (1, H2, W2, 6), dtype=np.uint8)
     flow_hd = np.zeros((1, H2, W2, 4), np.float32)
     text_hd = np.asarray(text[:1], np.float32)
     if dpipe is not None:

@@ -50,10 +50,13 @@ def batch_gop_conditions(frames: np.ndarray, flows_fwd: Dict[int, np.ndarray],
                          schedule: Sequence[GopItem]) -> Dict[str, np.ndarray]:
     """Stack per-inter-frame conditioning into one batch for the sampler.
 
-    frames: [N, H, W, 3] decoded anchor frames in [0, 1] (only anchor indices
-    are read).  flows_*: per-target-index [H, W, 2] pixel-unit flows
-    (fwd: anchor_prev -> target, bwd: anchor_next -> target, the reference's
-    RAFT convention at `validation.py:84-95`).
+    frames: [N, H, W, 3] decoded anchor frames in [0, 1] float — or uint8
+    in [0, 255], in which case 'cond' stays uint8 (for raw host->device
+    transfer with on-device normalization; decoded anchors are uint8 at
+    the source so this is lossless).  Only anchor indices are read.
+    flows_*: per-target-index [H, W, 2] pixel-unit flows (fwd: anchor_prev
+    -> target, bwd: anchor_next -> target, the reference's RAFT convention
+    at `validation.py:84-95`).
 
     Returns {'cond' [B,H,W,6], 'flow' [B,H,W,4]} with cond = r1 ++ r2
     (anchor_prev ++ anchor_next, the UniDataset channel order).
@@ -66,5 +69,8 @@ def batch_gop_conditions(frames: np.ndarray, flows_fwd: Dict[int, np.ndarray],
         f = flows_fwd[item.target]
         b = flows_bwd[item.target]
         flows.append(np.concatenate([f, b], axis=-1))
-    return {"cond": np.stack(conds).astype(np.float32),
+    cond = np.stack(conds)
+    if cond.dtype != np.uint8:
+        cond = cond.astype(np.float32)
+    return {"cond": cond,
             "flow": np.stack(flows).astype(np.float32)}

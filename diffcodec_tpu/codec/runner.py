@@ -216,7 +216,6 @@ def decode_video(enc: EncodedVideo,
     if not schedule:
         return out
 
-    frames01 = out.astype(np.float32) / 255.0
     flows_fwd, flows_bwd = {}, {}
     for item in schedule:
         for direction, store in (("fwd", flows_fwd), ("bwd", flows_bwd)):
@@ -233,26 +232,34 @@ def decode_video(enc: EncodedVideo,
                 anchor = item.anchor_prev if direction == "fwd" else \
                     item.anchor_next
                 if densify_fn is not None:
-                    store[item.target] = densify_fn(sparse, mask,
-                                                    frames01[anchor])
+                    store[item.target] = densify_fn(
+                        sparse, mask, out[anchor].astype(np.float32) / 255.0)
                 else:
                     store[item.target] = sparse
             else:
                 store[item.target] = decode_dense_flow(data)
 
-    batch = batch_gop_conditions(frames01, flows_fwd, flows_bwd, schedule)
+    # conditioning stays uint8 end-to-end: raw (1 byte/el) host->device
+    # upload, normalized to [0,1] on device — lossless (anchors are uint8
+    # at the source) and half the bf16 tunnel bytes; ~11 s of the 20.5 s
+    # 1080p exact frame was transfer (VERDICT r03 #7)
+    batch = batch_gop_conditions(out, flows_fwd, flows_bwd, schedule)
     n = batch["cond"].shape[0]
     decoded_u8 = np.zeros((n, H, W, 3), np.uint8)
     step = max_batch if max_batch and max_batch > 0 else n
     # one host->device upload for the whole sequence — per-chunk uploads
-    # dominate wall clock on remote-tunnel devices
+    # dominate wall clock on remote-tunnel devices.  cond uploads as raw
+    # uint8 and is normalized on device in the transfer dtype.
     dtype = transfer_dtype or jnp.float32
-    cond_all = jnp.asarray(batch["cond"], dtype)
+    cond_all = jnp.asarray(batch["cond"])  # uint8
     flow_all = jnp.asarray(batch["flow"], dtype)
     for s0 in range(0, n, step):
         end = min(s0 + step, n)
         sl = slice(s0, end)
-        cond_c, flow_c = cond_all[sl], flow_all[sl]
+        # normalize in f32 then cast: bit-identical to the former
+        # host-side uint8/255 -> cast path
+        cond_c = (cond_all[sl].astype(jnp.float32) / 255.0).astype(dtype)
+        flow_c = flow_all[sl]
         nb = end - s0
         if nb < step and s0 > 0:
             # pad the tail to the steady batch shape (avoids a recompile)

@@ -78,9 +78,14 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
                  tile_batch: Optional[int] = None) -> np.ndarray:
     """Decode [B, H, W, *] conditioning at arbitrary resolution.
 
-    cond [B,H,W,6] in [0,1]; flow [B,H,W,4] full-res pixel units (flow
-    vectors are rescaled for the tile crop implicitly — crops preserve
-    pixel units).  Returns [B, H, W, 3] in [-1, 1].
+    cond [B,H,W,6] in [0,1] float — or uint8 in [0,255], which is uploaded
+    raw and normalized to [0,1] ON DEVICE (the conditioning is decoded
+    anchor pixels, i.e. uint8 at the source, so the uint8 path is lossless
+    and halves host->device bytes vs bf16; ~11 s of a 20.5 s 1080p exact
+    frame was transfer through the remote tunnel).  flow [B,H,W,4]
+    full-res pixel units (flow vectors are rescaled for the tile crop
+    implicitly — crops preserve pixel units).  Returns [B, H, W, 3] in
+    [-1, 1].
 
     tile_batch limits how many tiles go through the sampler per call
     (None = all tiles of all frames at once).
@@ -90,12 +95,22 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     sample_fn = _jitted_sampler(pipe)
     # transfer in the pipeline's compute dtype: halves tunnel bytes for
     # bf16 pipelines with no extra precision loss (the models cast there
-    # anyway); f32 pipelines keep full-precision conditioning
+    # anyway); f32 pipelines keep full-precision conditioning.  uint8
+    # conditioning transfers raw (1 byte/el) and normalizes on device.
     dtype = pipe.unet.dtype
+    cond_u8 = cond.dtype == np.uint8
+
+    def upload_cond(c):
+        if cond_u8:
+            # normalize in f32 then cast: bit-identical to host-side
+            # uint8/255 -> cast-to-compute-dtype
+            return (jnp.asarray(c).astype(jnp.float32) / 255.0).astype(dtype)
+        return jnp.asarray(c, dtype)
+
     if H <= th and W <= tw and (H, W) == (th, tw):
         out = sample_fn(params, rng, jnp.asarray(text_embeds, dtype),
                         jnp.asarray(uncond_embeds, dtype),
-                        jnp.asarray(cond, dtype), jnp.asarray(flow, dtype))
+                        upload_cond(cond), jnp.asarray(flow, dtype))
         return np.asarray(out)
 
     coords = tile_grid(H, W, tile, overlap)
@@ -111,11 +126,12 @@ def sample_tiled(pipe, params, rng, text_embeds, uncond_embeds,
     text_t = rep(text_embeds)
     uncond_t = rep(uncond_embeds)
 
-    # ONE host->device upload of all tiles in the compute dtype; chunks
-    # are then sliced on device, and chunk outputs stay on device until a
+    # ONE host->device upload of all tiles in the compute dtype (raw
+    # uint8 for uint8 conditioning, normalized on device); chunks are
+    # then sliced on device, and chunk outputs stay on device until a
     # single final fetch.  Per-chunk f32 uploads through a remote-tunnel
     # device measured ~20 s per 70 MB chunk.
-    cond_d = jnp.asarray(cond_t, dtype)
+    cond_d = upload_cond(cond_t)
     flow_d = jnp.asarray(flow_t, dtype)
     text_d = jnp.asarray(text_t, dtype)
     uncond_d = jnp.asarray(uncond_t, dtype)

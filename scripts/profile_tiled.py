@@ -55,7 +55,9 @@ def main():
     coords = tile_grid(H, W, (T, T), 64)
     n_tiles = len(coords)
     rng = np.random.default_rng(0)
-    cond = rng.random((1, H, W, 6), dtype=np.float32)
+    # uint8 conditioning: raw transfer + on-device normalize (lossless;
+    # the decoder's conditioning is decoded uint8 anchor pixels)
+    cond = rng.integers(0, 256, (1, H, W, 6), dtype=np.uint8)
     flow = np.zeros((1, H, W, 4), np.float32)
     L, D = 77, unet_cfg.cross_attention_dim
     text = rng.standard_normal((1, L, D)).astype(np.float32) * 0.02
@@ -86,7 +88,8 @@ def main():
         t_crop = time.time() - t0
 
         t0 = time.time()
-        cond_d = jnp.asarray(cond_t, dtype)
+        cond_d = (jnp.asarray(cond_t).astype(jnp.float32) / 255.0
+                  ).astype(dtype)
         flow_d = jnp.asarray(flow_t, dtype)
         text_d = jnp.asarray(np.repeat(text, n_tiles, axis=0), dtype)
         cond_d.block_until_ready()
@@ -119,7 +122,7 @@ def main():
             "first_incl_compile_s": round(first, 1),
             "stages_s": {
                 "host_crop": round(t_crop, 3),
-                "upload_bf16": round(t_upload, 3),
+                "upload_u8cond_bf16flow": round(t_upload, 3),
                 "sampler_chunks": round(t_sample, 3),
                 "fetch": round(t_fetch, 3),
                 "host_merge": round(t_merge, 3),

@@ -110,3 +110,23 @@ def test_sample_tiled_distilled_pipeline(tiny_pipe):
                        cond, flow, tile=(32, 32), overlap=8, feather=8)
     assert out.shape == (1, H, W, 3)
     assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+
+
+@pytest.mark.slow
+def test_sample_tiled_uint8_cond_matches_float(tiny_pipe):
+    """uint8 conditioning (raw transfer + on-device normalize) must equal
+    the float path bit-exactly: normalization happens in f32 before the
+    compute-dtype cast, matching host-side uint8/255."""
+    pipe, params = tiny_pipe
+    B, H, W = 1, 48, 64
+    rng = np.random.default_rng(3)
+    cond_u8 = rng.integers(0, 256, (B, H, W, 6), dtype=np.uint8)
+    cond_f = cond_u8.astype(np.float32) / 255.0
+    flow = rng.normal(0, 2, (B, H, W, 4)).astype(np.float32)
+    text = rng.normal(0, 1, (B, 5, 32)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    out_f = sample_tiled(pipe, params, key, text, text, cond_f, flow,
+                         tile=(32, 32), overlap=8, feather=8)
+    out_u8 = sample_tiled(pipe, params, key, text, text, cond_u8, flow,
+                          tile=(32, 32), overlap=8, feather=8)
+    np.testing.assert_array_equal(out_f, out_u8)
