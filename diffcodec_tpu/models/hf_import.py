@@ -461,6 +461,12 @@ def _transform(kind: str, value: np.ndarray) -> np.ndarray:
     value = np.asarray(value)
     if kind == "conv_kernel":
         return value.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if kind == "convT_kernel":
+        # torch ConvTranspose2d [in, out, kh, kw] -> flax ConvTranspose
+        # (transpose_kernel=True) [kh, kw, out, in]; measured-equivalent
+        # with strides s, kernel k, torch padding p <-> flax padding
+        # ((k-1-p,)*2,)*2 (e.g. k=4,s=2,p=1 -> ((2,2),(2,2)))
+        return value.transpose(2, 3, 1, 0)
     if kind == "conv3d_kernel":
         return value.transpose(2, 3, 4, 1, 0)  # OITHW -> THWIO
     if kind == "linear_kernel":
@@ -472,6 +478,8 @@ def _inverse_transform(kind: str, value: np.ndarray) -> np.ndarray:
     value = np.asarray(value)
     if kind == "conv_kernel":
         return value.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    if kind == "convT_kernel":
+        return value.transpose(3, 2, 0, 1)  # [kh,kw,out,in] -> [in,out,kh,kw]
     if kind == "conv3d_kernel":
         return value.transpose(4, 3, 0, 1, 2)  # THWIO -> OITHW
     if kind == "linear_kernel":

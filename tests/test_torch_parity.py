@@ -731,3 +731,146 @@ def test_cmp_matches_reference_modules():
     np.testing.assert_allclose(got_flow,
                                _to_np(flow_t).transpose(0, 2, 3, 1),
                                atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_cmp_alexnet_plain_matches_reference_modules():
+    """CMP variant parity: alexnet_fcn_32x backbone + shallownet32x +
+    MotionDecoderPlain combo (1,2,4) — the rep_learning config composition
+    (`cmp/experiments/rep_learning/alexnet_*/config.yaml:12-19`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.cmp import (CMP, cmp_batch_stats_map,
+                                          cmp_name_map)
+    from diffcodec_tpu.models.hf_import import convert_state_dict
+
+    alexnet = _load_ref_module("cmp/models/backbone/alexnet.py",
+                               "ref_alexnet")
+    shallow = _load_ref_module("cmp/models/modules/shallownet.py",
+                               "ref_shallownet2")
+    decoder = _load_ref_module("cmp/models/modules/decoder.py",
+                               "ref_decoder2")
+
+    torch.manual_seed(11)
+
+    class RefCMP(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = alexnet.alexnet_fcn_32x(64)
+            self.flow_encoder = shallow.shallownet32x(16)
+            self.flow_decoder = decoder.MotionDecoderPlain(
+                input_dim=80, output_dim=198, combo=[1, 2, 4])
+
+        def forward(self, image, sparse):
+            sparse_enc = self.flow_encoder(sparse)
+            img_enc = self.image_encoder(image)
+            return self.flow_decoder(
+                torch.cat((img_enc, sparse_enc), dim=1))
+
+    tmodel = RefCMP().eval()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.uniform_(0.7, 1.3)
+                m.bias.uniform_(-0.1, 0.1)
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    image = torch.rand(1, 3, 128, 128)
+    sparse = torch.cat([torch.randn(1, 2, 128, 128) * 5.0,
+                        (torch.rand(1, 2, 128, 128) > 0.97).float()], dim=1)
+    with torch.no_grad():
+        logits_t = tmodel(image, sparse)
+
+    model = CMP(img_enc_dim=64, sparse_enc_dim=16,
+                backbone="alexnet_fcn_32x", decoder="plain",
+                combo=(1, 2, 4))
+    to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    img_j, sp_j = to_nhwc(image), to_nhwc(sparse)
+    variables = model.init(jax.random.PRNGKey(0), img_j, sp_j)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, _, _ = convert_state_dict(
+        sd, cmp_name_map(backbone="alexnet_fcn_32x", decoder="plain"),
+        variables["params"], strict=True)
+    stats, _, _ = convert_state_dict(
+        sd, cmp_batch_stats_map(backbone="alexnet_fcn_32x",
+                                decoder="plain"),
+        variables["batch_stats"], strict=True)
+
+    got = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, img_j, sp_j,
+        method=model.logits))
+    np.testing.assert_allclose(got,
+                               _to_np(logits_t).transpose(0, 2, 3, 1),
+                               atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_cmp_flownet_decoder_matches_reference_modules():
+    """CMP variant parity: resnet50 + MotionDecoderFlowNet
+    (`cmp/models/modules/decoder.py:216-343`) — all four flow scales."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcodec_tpu.models.cmp import (CMP, cmp_batch_stats_map,
+                                          cmp_name_map)
+    from diffcodec_tpu.models.hf_import import convert_state_dict
+
+    resnet = _load_ref_module("cmp/models/backbone/resnet.py",
+                              "ref_resnet2")
+    shallow = _load_ref_module("cmp/models/modules/shallownet.py",
+                               "ref_shallownet3")
+    decoder = _load_ref_module("cmp/models/modules/decoder.py",
+                               "ref_decoder3")
+
+    torch.manual_seed(12)
+
+    class RefCMP(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_encoder = resnet.resnet50(256)
+            self.flow_encoder = shallow.shallownet8x(16)
+            self.flow_decoder = decoder.MotionDecoderFlowNet(
+                input_dim=272, output_dim=198)
+
+        def forward(self, image, sparse):
+            sparse_enc = self.flow_encoder(sparse)
+            img_enc, skip = self.image_encoder(image, ret_feat=True)
+            return self.flow_decoder(
+                torch.cat((img_enc, sparse_enc), dim=1), skip)
+
+    tmodel = RefCMP().eval()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.uniform_(0.7, 1.3)
+                m.bias.uniform_(-0.1, 0.1)
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    image = torch.rand(1, 3, 64, 64)
+    sparse = torch.cat([torch.randn(1, 2, 64, 64) * 5.0,
+                        (torch.rand(1, 2, 64, 64) > 0.97).float()], dim=1)
+    with torch.no_grad():
+        flows_t = tmodel(image, sparse)  # [flow1, flow2, flow4, flow8]
+
+    model = CMP(decoder="flownet")
+    to_nhwc = lambda t: jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+    img_j, sp_j = to_nhwc(image), to_nhwc(sparse)
+    variables = model.init(jax.random.PRNGKey(0), img_j, sp_j)
+    sd = {k: _to_np(v) for k, v in tmodel.state_dict().items()}
+    params, _, _ = convert_state_dict(
+        sd, cmp_name_map(decoder="flownet"), variables["params"],
+        strict=True)
+    stats, _, _ = convert_state_dict(
+        sd, cmp_batch_stats_map(decoder="flownet"),
+        variables["batch_stats"], strict=True)
+
+    got = model.apply({"params": params, "batch_stats": stats},
+                      img_j, sp_j, method=model.logits)
+    assert len(got) == 4
+    for g, t in zip(got, flows_t):
+        np.testing.assert_allclose(np.asarray(g),
+                                   _to_np(t).transpose(0, 2, 3, 1),
+                                   atol=2e-3, rtol=1e-3)
