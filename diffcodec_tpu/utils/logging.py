@@ -100,19 +100,38 @@ def profile_trace(log_dir: str, enabled: bool = True):
 
 
 class MetricsLogger:
-    """Scalar metrics sink: stdout lines + optional TensorBoard
-    (`accelerator.log` analogue, train_controlnet.py:1213-1219)."""
+    """Scalar metrics sink: stdout lines + optional TensorBoard + optional
+    wandb (`accelerator.log` with report_to tensorboard/wandb,
+    train_controlnet.py:519-523,1213-1219).
+
+    wandb activates when `wandb_project` is passed AND the `wandb` package
+    imports (it is not in this image; the option degrades to a no-op with
+    a logged notice, the same shape as the reference's optional
+    `--report_to wandb`)."""
 
     def __init__(self, log_dir: Optional[str] = None,
-                 logger: Optional[logging.Logger] = None):
+                 logger: Optional[logging.Logger] = None,
+                 wandb_project: Optional[str] = None,
+                 wandb_run_name: Optional[str] = None):
         self.logger = logger or create_logger()
         self.tb = None
+        self.wandb = None
         if log_dir:
             try:
                 from flax.metrics import tensorboard
                 self.tb = tensorboard.SummaryWriter(log_dir)
             except Exception:
                 self.tb = None
+        if wandb_project:
+            try:
+                import wandb
+                self.wandb = wandb.init(project=wandb_project,
+                                        name=wandb_run_name, dir=log_dir)
+            except Exception as e:  # package absent / offline
+                self.logger.warning(
+                    "wandb requested but unavailable (%s); scalars go to "
+                    "stdout/TensorBoard only", e)
+                self.wandb = None
 
     def log(self, metrics: Dict[str, float], step: int):
         line = " ".join(f"{k}={float(v):.5g}" for k, v in metrics.items())
@@ -120,9 +139,15 @@ class MetricsLogger:
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.scalar(k, float(v), step)
+        if self.wandb is not None:
+            self.wandb.log({k: float(v) for k, v in metrics.items()},
+                           step=step)
 
     def log_image(self, tag: str, image, step: int):
         """HWC uint8 image panel to TensorBoard (the reference's validation
         image grids, train_controlnet.py:222-248)."""
         if self.tb is not None:
             self.tb.image(tag, image, step)
+        if self.wandb is not None:
+            import wandb
+            self.wandb.log({tag: wandb.Image(image)}, step=step)

@@ -28,6 +28,13 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     # data
     p.add_argument("--index_file", required=True)
+    p.add_argument("--report_to", default="tensorboard",
+                   choices=["tensorboard", "wandb", "all"],
+                   help="scalar sinks (train_controlnet.py:519-523); "
+                        "wandb degrades to a logged no-op when the "
+                        "package is unavailable")
+    p.add_argument("--tracker_project_name", default="diffcodec_tpu",
+                   help="wandb project (reference --tracker_project_name)")
     p.add_argument("--caption_file", default="")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--train_batch_size", type=int, default=4)
@@ -243,7 +250,10 @@ def main(argv=None):
         ids = jnp.asarray(tokenizer(texts))
         return np.asarray(text_encoder.apply(frozen["text"], ids))
 
-    metrics_logger = MetricsLogger(os.path.join(args.output_dir, "tb"))
+    metrics_logger = MetricsLogger(
+        os.path.join(args.output_dir, "tb"),
+        wandb_project=(args.tracker_project_name
+                       if args.report_to in ("wandb", "all") else None))
     timer = StepTimer()
     step = start_step
 

@@ -271,3 +271,79 @@ def test_rd_sweep_distilled_student(tmp_path):
         res = json.load(f)
     m = res["2"]["vid0"]["none"]["all"]
     assert np.isfinite(m["psnr"])
+
+
+@pytest.mark.slow
+def test_weights_day_playbook(tiny_checkpoint_dir, aux_checkpoint_dir,
+                              tmp_path):
+    """The one-command weights-day playbook (scripts/weights_day.py) runs
+    end-to-end from synthesized checkpoints: RD sweep -> BD tables +
+    reference side-by-side -> distilled gate, emitting the single
+    report.  This is the exact command the first hour with real
+    checkpoints uses (VERDICT r03 #4)."""
+    import sys as _sys
+
+    from PIL import Image
+
+    from diffcodec_tpu.utils.flo_io import write_flo
+
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    if scripts not in _sys.path:
+        _sys.path.insert(0, scripts)
+    import train_distill
+    import weights_day
+    from tests.test_cli_harness import _make_dataset
+
+    sd_dir, _ = tiny_checkpoint_dir
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "dataset" / "vid0"
+    (vdir / "frames").mkdir(parents=True)
+    (vdir / "Flow").mkdir()
+    (vdir / "Flow_b").mkdir()
+    H = W = 64  # CMP (sparse mode) needs >= 64px
+    for i in range(4):
+        Image.fromarray((rng.random((H, W, 3)) * 255).astype(np.uint8)
+                        ).save(vdir / "frames" / f"frame_{i:04d}.png")
+        flow = rng.normal(0, 1.5, (H, W, 2)).astype(np.float32)
+        write_flo(str(vdir / "Flow" / f"flow_{i:04d}.flo"), flow)
+        write_flo(str(vdir / "Flow_b" / f"flow_{i:04d}.flo"), -flow)
+
+    # a 2-step tiny distilled student checkpoint for stage 3
+    idx = _make_dataset(tmp_path)
+    run = str(tmp_path / "distill_run")
+    train_distill.main(["--index_file", idx, "--output_dir", run, "--tiny",
+                        "--resolution", "32", "--train_batch_size", "2",
+                        "--num_teacher_steps", "10", "--max_train_steps",
+                        "2", "--checkpointing_steps", "2",
+                        "--dataloader_num_workers", "0", "--log_every",
+                        "1"])
+
+    out = str(tmp_path / "wd_out")
+    report = weights_day.main(
+        ["--sd_checkpoint_dir", sd_dir,
+         "--aux_checkpoint_dir", aux_checkpoint_dir,
+         "--dataset_root", str(tmp_path / "dataset"), "--out", out,
+         "--gops", "2", "--modes", "none", "sparse", "--steps", "2",
+         "--tiny", "--distilled_checkpoint", run, "--student_steps", "2"])
+
+    # single report emitted, both formats
+    assert os.path.exists(os.path.join(out, "weights_day_report.json"))
+    md = open(os.path.join(out, "weights_day_report.md")).read()
+    assert "Measured RD points" in md
+    # stage 1: both rate points measured with the full metric gate
+    pts = report["rd_points"]["2"]
+    assert set(pts) == {"none", "sparse"}
+    for bpp, mets in pts.values():
+        assert bpp > 0 and np.isfinite(mets["psnr"])
+        assert "lpips" in mets and "fid" in mets  # aux gates ran
+    # sparse mode pays flow bits on top of intra
+    assert pts["sparse"][0] > pts["none"][0]
+    # stage 2: BD tables computed for the 2-point curve (values may be
+    # NaN when the toy curve does not overlap the real anchors — the
+    # structure is what the drill pins)
+    assert "2" in report["bd_tables"]
+    assert "psnr" in report["bd_tables"]["2"]
+    assert {"H.264"} <= set(report["bd_tables"]["2"]["psnr"])
+    # stage 3: distilled gate ran from the on-disk checkpoint
+    assert report["distill"]["per_k"]
