@@ -75,8 +75,15 @@ def bd_tables(points, modes):
                                                  HEVC_UVG_GOP8, OURS_UVG)
     from diffcodec_tpu.eval.bd_rate import bd_rate, bd_rate_pchip_exact
 
-    anchors_by_gop = {"8": [("H.264", H264_UVG), ("HEVC", HEVC_UVG_GOP8)],
-                      "4": [("H.264", H264_UVG), ("HEVC", HEVC_UVG_GOP4)]}
+    # the H.264 anchor curve is GOP-independent (bd_test.py uses the same
+    # H264 table for both GOP rows); HEVC tables are committed per GOP
+    def anchors_for(g):
+        out = [("H.264", H264_UVG)]
+        if g == "8":
+            out.append(("HEVC", HEVC_UVG_GOP8))
+        elif g == "4":
+            out.append(("HEVC", HEVC_UVG_GOP4))
+        return out
     metric_dirs = (("psnr", True), ("ms_ssim", True), ("lpips", False),
                    ("fid", False))
     table, reference_rows = {}, {}
@@ -92,7 +99,7 @@ def bd_tables(points, modes):
             sign = 1.0 if higher else -1.0
             qs = [sign * v for v in q]
             table[g][metric] = {}
-            for name, anchor in anchors_by_gop.get(g, []):
+            for name, anchor in anchors_for(g):
                 if metric not in anchor:
                     continue
                 qa = [sign * v for v in anchor[metric]]
@@ -282,8 +289,12 @@ def main(argv=None):
                                sorted({1, 2, args.student_steps})),
                       "--steps", str(args.steps), "--out", dout]
         if args.tiny:
+            # tiny drill: the gate runs from the student checkpoint alone
+            # (distill_eval's converter configs are full-size SD-1.5; a
+            # tiny synthesized SD dir only matches the rd_sweep --tiny
+            # templates, not distill_eval's bench-built models)
             deval_args += ["--small", "--batch", "1"]
-        if args.sd_checkpoint_dir:
+        elif args.sd_checkpoint_dir:
             deval_args += ["--sd_checkpoint_dir", args.sd_checkpoint_dir]
         distill_eval.main(deval_args)
         with open(dout) as f:
