@@ -30,6 +30,17 @@ nobody retries it blind:
     transiently, and XLA's buffer assignment keeps whole-tree f32
     copies live at the peak point.
 
+2026-08-19 (round 4), with the measured splat dispatch (ops/softsplat.py
+_dispatch_tpu routing the extractor shapes to the linear-cost XLA
+scatter-add; the old one-hot forms were quadratic in pixels): batch 8 =
+**430 ms = 18.61 samples/s/chip** fused, **421-422 ms = 18.95-18.99**
+with TB_LOWP=1 on top (~38% MFU at 3.93 TF/sample).  The batch>8 dead
+end was RETRIED with the scatter splat and stands: b12, b16, b12+lowp
+all fail to compile; b16 remat+lowp OOMs at 17.65G vs 15.75G HBM (the
+splat fix shrank extractor temps but the binding constraint is the
+Adam-update transient f32 tree copies, unchanged).  Single-chip batch 8
+remains the frontier; larger batches are a multichip-fsdp job.
+
 Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch,
 TB_REMAT=1 for gradient checkpointing, TB_LOWP=1 for bf16 Adam moments)
 """
