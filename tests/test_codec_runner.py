@@ -192,3 +192,31 @@ def test_decode_video_chunked_batches(tmp_path):
                         sample_fn2, max_batch=0)
     assert seen2 == [9]
     np.testing.assert_array_equal(out, out2)
+
+
+def test_decode_video_device_u8_fetch_bit_identical(tmp_path):
+    """The pipelined device-side uint8 conversion (nan_to_num -> clip ->
+    truncating cast, fetched at 1 byte/px) is bit-identical to the former
+    host-side f32-fetch path, including non-finite sampler outputs."""
+    frames = _synthetic_video(n=9, H=32, W=32)
+    enc = encode_video(frames, str(tmp_path / "enc"),
+                       CodecConfig(gop_size=4, flow_rate_mode="none"))
+
+    @jax.jit
+    def net(cond, flow):
+        x = jnp.tanh(cond[..., :3] * 2.0 - 1.0 + 0.1 * flow[..., :1])
+        x = x.at[0, 0, 0, 0].set(jnp.nan)
+        x = x.at[0, 0, 1, 0].set(jnp.inf)
+        return x.at[0, 0, 2, 0].set(-jnp.inf)
+
+    # device-array-returning sample_fn: exercises the jitted _to_u8 fetch
+    out_dev = decode_video(EncodedVideo.load(str(tmp_path / "enc")),
+                           net, max_batch=2)
+
+    # host-array-returning sample_fn: exercises the former host math
+    def net_host(cond, flow):
+        return np.asarray(net(cond, flow), np.float32)
+
+    out_host = decode_video(EncodedVideo.load(str(tmp_path / "enc")),
+                            net_host, max_batch=2)
+    np.testing.assert_array_equal(out_dev, out_host)
