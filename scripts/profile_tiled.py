@@ -108,7 +108,11 @@ def main():
         t_sample = time.time() - t0
 
         t0 = time.time()
-        tiles_out = np.asarray(jnp.concatenate(outs), np.float32)
+        # mirror sample_tiled's fetch: bf16 -> f16 on device (2 bytes/el)
+        cat = jnp.concatenate(outs)
+        if cat.dtype == jnp.bfloat16:
+            cat = cat.astype(jnp.float16)
+        tiles_out = np.asarray(cat).astype(np.float32)
         t_fetch = time.time() - t0
 
         t0 = time.time()
