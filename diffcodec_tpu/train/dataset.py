@@ -246,15 +246,28 @@ class UniDataset:
         """Simple host-side batcher.  `text_encoder(texts) -> [B, L, D]`
         embeds captions (or pass None to emit zeros placeholder handled by
         the trainer)."""
-        order = np.arange(len(self))
-        if shuffle:
-            self._rng.shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            idx = order[start:start + batch_size]
-            samples = [self[i] for i in idx]
-            batch = {k: np.stack([s[k] for s in samples])
-                     for k in ("image", "cond", "flow")}
+        return iter_dataset_batches(self, batch_size, rng=self._rng,
+                                    text_encoder=text_encoder,
+                                    shuffle=shuffle)
+
+
+def iter_dataset_batches(dataset, batch_size: int, rng=None,
+                         text_encoder=None, shuffle: bool = True
+                         ) -> Iterator[Dict[str, np.ndarray]]:
+    """Batch any indexable sample-dict dataset: stacks every array key
+    (so wrappers like LatentCachedDataset's 'latent_moments' ride along),
+    gathers 'text' into a list."""
+    rng = rng if rng is not None else np.random.default_rng(0)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for start in range(0, len(order) - batch_size + 1, batch_size):
+        idx = order[start:start + batch_size]
+        samples = [dataset[i] for i in idx]
+        batch = {k: np.stack([s[k] for s in samples])
+                 for k in samples[0] if k != "text"}
+        if "text" in samples[0]:
             batch["text"] = [s["text"] for s in samples]
-            if text_encoder is not None:
-                batch["text_embeds"] = text_encoder(batch["text"])
-            yield batch
+        if text_encoder is not None:
+            batch["text_embeds"] = text_encoder(batch["text"])
+        yield batch

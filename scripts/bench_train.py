@@ -41,8 +41,15 @@ splat fix shrank extractor temps but the binding constraint is the
 Adam-update transient f32 tree copies, unchanged).  Single-chip batch 8
 remains the frontier; larger batches are a multichip-fsdp job.
 
+With the latent-moments cache on top (TB_LATCACHE=1 — the step skips the
+frozen VAE encoder entirely, train/latent_cache.py): batch 8 =
+**354 ms = 22.63 samples/s/chip** (fused+lowp; same loss at print
+precision).  Requires ColorJitter off, so it is an opt-in operating
+point, not the parity default.
+
 Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch,
-TB_REMAT=1 for gradient checkpointing, TB_LOWP=1 for bf16 Adam moments)
+TB_REMAT=1 for gradient checkpointing, TB_LOWP=1 for bf16 Adam
+moments, TB_LATCACHE=1 for precomputed latent moments)
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -91,6 +98,13 @@ batch = {
     "flow": jax.random.normal(k3, (B, H, H, 4)) * 4.0,
     "text_embeds": jax.random.normal(k1, (B, L, D)) * 0.02,
 }
+if os.environ.get("TB_LATCACHE") == "1":
+    # precomputed latent moments (train/latent_cache.py): the step skips
+    # the frozen-VAE encoder entirely
+    mean, logvar = vae.apply(frozen["vae"], batch["image"].astype(
+        jnp.bfloat16), method=vae.encode)
+    batch["latent_moments"] = jnp.concatenate([mean, logvar], -1).astype(
+        jnp.float32)
 trainer = ControlNetTrainer(unet=unet, controlnet=cn, vae=vae,
                             schedule=schedule, config=cfg)
 state = trainer.shard_state(mesh, TrainState.create(cn_params,

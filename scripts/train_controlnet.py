@@ -90,6 +90,13 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", type=int, default=1,
                    help="fsdp axis size (ZeRO-style sharding degree)")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--latent_cache_dir", default="",
+                   help="precompute frozen-VAE latent moments here (once) "
+                        "and skip the encoder in every train step — "
+                        "same math given the same rng, ~18%% faster at "
+                        "batch 8 (train/latent_cache.py).  Disables "
+                        "ColorJitter (cached pixels must be the pixels "
+                        "trained on); dualflow variant only.")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (harness smoke tests)")
     return p.parse_args(argv)
@@ -243,7 +250,24 @@ def main(argv=None):
     dataset = UniDataset(args.caption_file or "/dev/null", args.index_file,
                          resolution=args.resolution,
                          drop_txt_prob=args.dataloader_drop_text_prob,
+                         transform=not args.latent_cache_dir,
                          seed=args.seed)
+    if args.latent_cache_dir:
+        if args.model_variant == "res":
+            raise SystemExit(
+                "--latent_cache_dir is dualflow-only: the res variant's "
+                "encode target (the residual) is built in-loop, after the "
+                "cacheable dataset stage")
+        from diffcodec_tpu.train.latent_cache import (
+            LatentCachedDataset, cache_complete, precompute_latent_moments)
+        if not cache_complete(args.latent_cache_dir, len(dataset)):
+            logger.info("precomputing latent moments -> %s",
+                        args.latent_cache_dir)
+            n = precompute_latent_moments(vae, frozen["vae"], dataset,
+                                          args.latent_cache_dir,
+                                          batch_size=B)
+            logger.info("cached %d samples", n)
+        dataset = LatentCachedDataset(dataset, args.latent_cache_dir)
     tokenizer = default_tokenizer(clip_cfg.max_length)
 
     def embed_text(texts):

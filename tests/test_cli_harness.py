@@ -259,3 +259,35 @@ def test_export_distilled_student_roundtrip(tmp_path):
         for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(want)):
             np_.testing.assert_allclose(np_.asarray(a), np_.asarray(b),
                                         atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_cli_latent_cache(tmp_path):
+    """--latent_cache_dir: precomputes moments once, trains from them,
+    and reuses the cache on a second run."""
+    import train_controlnet as cli
+
+    idx = _make_dataset(tmp_path)
+    out = str(tmp_path / "run")
+    cache = str(tmp_path / "latcache")
+    common = ["--index_file", idx, "--output_dir", out, "--tiny",
+              "--resolution", "32", "--train_batch_size", "2",
+              "--learning_rate", "1e-4", "--lr_warmup_steps", "0",
+              "--checkpointing_steps", "2", "--log_every", "1",
+              "--dataloader_num_workers", "0",
+              "--latent_cache_dir", cache]
+    cli.main(common + ["--max_train_steps", "2"])
+    moments = [f for f in os.listdir(cache) if f.endswith(".npy")]
+    assert len(moments) == 4
+    meta = json.load(open(os.path.join(cache, "latent_cache_meta.json")))
+    assert meta["count"] == 4
+    stamps = {f: os.path.getmtime(os.path.join(cache, f)) for f in moments}
+    # second run resumes and REUSES the cache (no recompute)
+    cli.main(common + ["--max_train_steps", "4",
+                       "--resume_from_checkpoint", "latest"])
+    for f, t in stamps.items():
+        assert os.path.getmtime(os.path.join(cache, f)) == t
+    # res variant refuses the flag
+    with pytest.raises(SystemExit):
+        cli.main(common + ["--max_train_steps", "2",
+                           "--model_variant", "res"])
