@@ -52,6 +52,7 @@ def encode_x26x(frames_glob: str, out_path: str, codec: str, bpp: float,
         args += ["-x265-params",
                  f"keyint={gop}:min-keyint={gop}:scenecut=0:"
                  f"bitrate={bitrate // 1000}"]
+    args.append(out_path)
     subprocess.run(args, check=True, capture_output=True)
 
 
@@ -136,3 +137,74 @@ def split_vvc_intra_inter(poc_entries: List[Tuple[int, str, int]]
     inter_bits = sum(b for _, t, b in poc_entries if t != "I")
     return {"intra_bytes": intra_bits // 8, "inter_bytes": inter_bits // 8,
             "total_bytes": (intra_bits + inter_bits) // 8}
+
+
+# ---------------------------------------------------------------------------
+# Chained per-operating-point drivers (the shell loop bodies)
+# ---------------------------------------------------------------------------
+
+def run_classical_anchor(frames_glob: str, out_dir: str, codec: str,
+                         bpp: float, width: int, height: int, fps: float,
+                         gop: int, num_frames: int = 96,
+                         decode_frames: bool = True) -> Dict[str, int]:
+    """One (video, bpp) operating point of the classical-anchor sweep:
+    encode -> ffprobe per-frame sizes -> intra/inter byte split ->
+    `intra_inter_storage.txt` -> (optionally) decode to PNG frames.
+
+    Parity: the `test.sh:33-56` loop body.  Note the reference passes
+    `-x265-params keyint=...` to a libx264 encode (test.sh:36-38), which
+    x264 silently ignores — its H.264 anchors therefore run with default
+    keyframe placement; `encode_x26x` sets the codec-appropriate keyint
+    flags instead (`-g/-keyint_min/-sc_threshold` for x264).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    video_path = os.path.join(out_dir, "output.mp4")
+    encode_x26x(frames_glob, video_path, codec, bpp, width, height, fps,
+                gop, num_frames)
+    split = split_intra_inter_bytes(probe_frame_sizes(video_path))
+    write_intra_inter_storage(
+        os.path.join(out_dir, "intra_inter_storage.txt"), split)
+    if decode_frames:
+        decode_to_frames(video_path, os.path.join(out_dir, "decoded"))
+    return split
+
+
+def decode_vvc(vvc_path: str, out_dir: str, width: int, height: int,
+               vvdec_binary: str = "vvdecapp",
+               extract_frames: bool = True) -> Dict[str, int]:
+    """One VVC bitstream of the `vvc_decode.sh:36-66` loop: vvdec to YUV
+    (capturing the per-POC log), truncate the YUV to the decoded frame
+    count (vvdec can over-emit), split intra/inter bits from the log,
+    write `intra_inter_storage.txt`, and (optionally) extract PNG frames
+    with ffmpeg.
+
+    The reference script sums the `[DT ..]` decode-time column as "bytes"
+    (vvc_decode.sh:57-62) — a units bug; this driver sums the per-POC bit
+    counts from the same log lines (`parse_vvdec_poc_log`).
+    """
+    vvdec = _require(vvdec_binary)
+    os.makedirs(out_dir, exist_ok=True)
+    yuv_path = os.path.join(out_dir, "output_decoded.yuv")
+    log_path = os.path.join(out_dir, "vvdec_log.txt")
+    with open(log_path, "w") as log_f:
+        subprocess.run([vvdec, "-b", vvc_path, "-o", yuv_path],
+                       check=True, stdout=log_f, stderr=subprocess.STDOUT)
+    with open(log_path) as f:
+        entries = parse_vvdec_poc_log(f.read())
+    # truncate to the decoded frame count (YUV420p: 1.5 bytes/pixel)
+    frame_bytes = width * height * 3 // 2
+    want = len(entries) * frame_bytes
+    if os.path.exists(yuv_path) and os.path.getsize(yuv_path) > want:
+        with open(yuv_path, "r+b") as f:
+            f.truncate(want)
+    split = split_vvc_intra_inter(entries)
+    write_intra_inter_storage(
+        os.path.join(out_dir, "intra_inter_storage.txt"), split)
+    if extract_frames:
+        ffmpeg = _require("ffmpeg")
+        subprocess.run(
+            [ffmpeg, "-y", "-s:v", f"{width}x{height}", "-pix_fmt",
+             "yuv420p", "-i", yuv_path,
+             os.path.join(out_dir, "f%03d.png")],
+            check=True, capture_output=True)
+    return split
