@@ -632,3 +632,200 @@ def upsample_conv3x3(x, kernel, bias):
     `models.layers._UpsampleConv`) when the gate fails; this entry point
     is only taken when `upsample_conv_qualifies(x, O)` holds."""
     return _up_fused(x, kernel, bias)
+
+
+# ---------------- stride-2 conv3x3 (VAE encoder downsamplers) ----------------
+
+def _down_kernel(xp_hbm, w_ref, b_ref, o_ref, xtile, sems):
+    """conv3x3 stride-2 over a pre-padded, column-pair-merged input.  Each
+    grid step consumes 2*Th+2 input rows for Th output rows; the host
+    delivers x as [rows, Wm, 2C] merged column pairs and the weights as
+    tap-merged [3, 2, 2C, O] (see `downsample_conv3x3_pallas`), so the
+    kernel is six [Th*Wo,2C]@[2C,O] MXU taps with only unit-stride
+    sublane slices — no lane extraction, no relayout."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    Th = o_ref.shape[1]
+    Wo = o_ref.shape[2]
+    O = o_ref.shape[3]
+    C2 = xtile.shape[3]          # merged lanes = 2*C
+    C = C2 // 2
+    Wm = xtile.shape[2]          # merged column-pair count
+
+    def dma(slot, row_block):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(row_block * 2 * Th, 2 * Th + 2)],
+            xtile.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+
+    x = xtile[slot]                              # [2Th+2, Wp/2, 2C] merged
+    # the host pre-merged column pairs ([Wp,C] -> [Wp/2,2C] preserves
+    # row-major linear order = a free XLA bitcast on the padded array), so
+    # even input columns are lanes [0,C) and odd are [C,2C) with NO
+    # in-kernel relayout (Mosaic rejects stride-2 sublane slices, and an
+    # in-kernel pair-merge shapecast measured 0.74-0.99x).  Row phases
+    # split via the free leading-dim reshape.
+    xr = x.reshape(Th + 1, 2, Wm, C2)
+    even, odd = xr[:, 0], xr[:, 1]
+    rows = (even[:Th], odd[:Th], even[1:Th + 1])  # input rows 2r+dr
+    accv = jnp.zeros((Th * Wo, O), jnp.float32)
+    for dr in range(3):
+        xrow = rows[dr]                          # [Th, Wm, 2C]
+        # word c covers input cols (2c, 2c+1) = taps (0,1); word c+1's
+        # even lane covers col 2c+2 = tap 2 (its odd half hits zero
+        # weights — 33% MAC overhead, traded for zero lane shuffles)
+        for wshift in range(2):
+            xs = xrow[:, wshift:wshift + Wo].reshape(Th * Wo, C2)
+            accv += jax.lax.dot_general(
+                xs, w_ref[dr, wshift], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = (accv + b_ref[0].astype(jnp.float32)).reshape(
+        Th, Wo, O).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("asymmetric_pad", "th", "interpret"))
+def downsample_conv3x3_pallas(x, kernel, bias, asymmetric_pad: bool = True,
+                              th: int = 8, interpret: bool = False):
+    """conv3x3 stride-2.  x [B,H,W,C] (H%(2*th)==0, W%16==0), kernel
+    [3,3,C,O] HWIO, bias [O] -> [B,H/2,W/2,O] in x.dtype.
+
+    `asymmetric_pad=True` pads bottom/right only (the HF VAE Encoder
+    convention, `models.layers.Downsample2D`); False pads SAME (the UNet
+    downsample_padding=1 convention).  Both reduce to one VALID kernel
+    over a host-padded array."""
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    Ho, Wo = H // 2, W // 2
+    assert Ho % th == 0 and W % 16 == 0, (H, W, th)
+    pt, pc = (0, 0) if asymmetric_pad else (1, 1)
+    # rows: blocks of 2*th+2 at starts 2*i*th -> padded rows = H+2;
+    # cols: highest read is dc + 2*(Wo-1) = W (both pad conventions land
+    # on the same padded-array indices), pad W -> W+16 so the merged
+    # column-pair count (W+16)/2 stays 8-aligned for the DMA tiles.  The
+    # pair merge [Wp,C] -> [Wp/2,2C] preserves row-major linear order, so
+    # on the just-padded array it is a free XLA bitcast — the kernel sees
+    # even columns in lanes [0,C) and odd in [C,2C) with no relayout
+    # anywhere (an in-kernel merge shapecast measured 0.74-0.99x, and
+    # Mosaic rejects stride-2 sublane slices outright).
+    xp = jnp.pad(x, ((0, 0), (pt, 2 - pt), (pc, 16 - pc), (0, 0)))
+    xp = xp.reshape(B, H + 2, (W + 16) // 2, 2 * C)
+    # tap-merged weights [3,2,2C,O]: word-shift 0 = concat(w[dr,0],
+    # w[dr,1]) over the merged lanes; word-shift 1 = concat(w[dr,2], 0)
+    kb = kernel.astype(x.dtype)
+    km = jnp.stack(
+        [jnp.concatenate([kb[:, 0], kb[:, 1]], axis=1),
+         jnp.concatenate([kb[:, 2], jnp.zeros_like(kb[:, 2])], axis=1)],
+        axis=1)                                  # [3, 2, 2C, O]
+    grid = (B, Ho // th)
+    return pl.pallas_call(
+        _down_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 2, 2 * C, O), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, O), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, Wo, O), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, O), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * th + 2, (W + 16) // 2, 2 * C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * Ho * Wo * C * O,
+            bytes_accessed=2 * B * H * W * C + 2 * B * Ho * Wo * O,
+            transcendentals=0),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, km, bias.reshape(1, -1))
+
+
+def downsample_conv3x3_ref(x, kernel, bias, asymmetric_pad: bool = True):
+    """XLA reference: flax-Conv-identical strided conv (the exact ops
+    `models.layers.Downsample2D` lowers to when the gate is off)."""
+    pad = ((0, 1), (0, 1)) if asymmetric_pad else ((1, 1), (1, 1))
+    y = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (2, 2), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _down_fused(x, kernel, bias, asymmetric_pad):
+    return downsample_conv3x3_pallas(x, kernel, bias,
+                                     asymmetric_pad=asymmetric_pad, th=8)
+
+
+def _down_fused_fwd(x, kernel, bias, asymmetric_pad):
+    return _down_fused(x, kernel, bias, asymmetric_pad), (x, kernel, bias)
+
+
+def _down_fused_bwd(asymmetric_pad, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda a, k, c: downsample_conv3x3_ref(a, k, c, asymmetric_pad),
+        x, kernel, bias)
+    return vjp(g)
+
+
+_down_fused.defvjp(_down_fused_fwd, _down_fused_bwd)
+
+
+def downsample_conv_qualifies(x, out_features: int) -> bool:
+    """Dispatch gate for the stride-2 halo kernel: measured NEGATIVE at
+    every production shape — always False; `models.layers.Downsample2D`
+    stays on XLA's direct strided conv.
+
+    This was the last untried kernel idea on the single-chip frontier
+    (ROADMAP round-4 item 0a.i).  Measured on v5e (chained x10 best-of-3,
+    bf16, scripts/downsample_kernel_experiment.py, recorded in
+    artifacts/downsample_conv_experiment.json) vs XLA direct:
+
+      8x512x512 128->128: 9.57 vs 5.62 ms (0.59x)
+      8x256x256 256->256: 6.48 vs 4.45 ms (0.69x)
+      8x128x128 512->512: 5.23 vs 4.00 ms (0.77x)
+      8x 64x 64 512->512: 3.49 vs 2.73 ms (0.78x)
+      14x64x 64 320->320: 2.97 vs 2.78 ms (0.93x)
+
+    Three schedules tried, all losing: (1) in-kernel column-pair merge
+    shapecast 0.74-0.99x (and Mosaic rejects stride-2 sublane slices
+    outright); (2) host-side bitcast merge + in-kernel lane extraction
+    0.60-0.78x; (3) host merge + tap-merged [3,2,2C,O] weights (zero lane
+    shuffles, 33% MAC overhead) 0.59-0.93x, th-invariant across 8/16/32
+    (not DMA-wait bound).  Root cause: stride-2 halves the per-sublane-
+    slice operand reuse the stride-1 kernel enjoys (each sliced operand
+    feeds one tap instead of three), while XLA's own stride-2 lowering
+    already sustains 27-40 TF/s steady-state at these shapes — the 21-32
+    TF/s in artifacts/profile_vae_encode.json includes per-call pad +
+    dispatch that the chained measurement amortizes.  Consistent with the
+    space-to-depth negative (`ops/conv_im2col.py`, commit 7923fe4).  The
+    op + tests are kept so the result isn't re-derived."""
+    return False
+
+
+def downsample_conv3x3(x, kernel, bias, asymmetric_pad: bool = True):
+    """Strided 3x3 conv with opt-in Pallas dispatch; callers gate via
+    `downsample_conv_qualifies` (fallback kept for safety)."""
+    if downsample_conv_qualifies(x, kernel.shape[-1]):
+        return _down_fused(x, kernel, bias, asymmetric_pad)
+    return downsample_conv3x3_ref(x, kernel, bias, asymmetric_pad)

@@ -263,3 +263,73 @@ def test_upsample_gate():
                                              jnp.bfloat16), 512)
     finally:
         del os.environ["DIFFCODEC_FUSED_SILU_CONV"]
+
+
+# ---------------- stride-2 downsample kernel (measured NEGATIVE) ----------------
+# The kernel is kept with its gate returning False (see
+# `downsample_conv_qualifies` for the loss table); these tests pin its
+# correctness so the negative result isn't re-derived from scratch.
+
+
+@pytest.fixture
+def down_shapes():
+    rng = np.random.RandomState(1)
+    B, H, W, C, O = 2, 32, 32, 16, 24
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, C, O) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(O) * 0.1, jnp.float32)
+    return x, k, b
+
+
+@pytest.mark.parametrize("asym", [True, False])
+def test_downsample_kernel_matches_ref(down_shapes, asym):
+    from diffcodec_tpu.ops.conv_pallas import (downsample_conv3x3_pallas,
+                                               downsample_conv3x3_ref)
+    x, k, b = down_shapes
+    got = np.asarray(downsample_conv3x3_pallas(
+        x, k, b, asymmetric_pad=asym, th=4, interpret=True))
+    want = np.asarray(downsample_conv3x3_ref(x, k, b, asym))
+    assert got.shape == (x.shape[0], x.shape[1] // 2, x.shape[2] // 2,
+                         k.shape[-1])
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("asym", [True, False])
+def test_downsample_ref_matches_flax_conv(down_shapes, asym):
+    """The reference path must be numerically identical to the strided
+    nn.Conv that `models.layers.Downsample2D` emits."""
+    import flax.linen as nn
+    from diffcodec_tpu.ops.conv_pallas import downsample_conv3x3_ref
+
+    x, k, b = down_shapes
+    pad = ((0, 1), (0, 1)) if asym else ((1, 1), (1, 1))
+    conv = nn.Conv(k.shape[-1], (3, 3), strides=(2, 2), padding=pad)
+    want = conv.apply({"params": {"kernel": k, "bias": b}}, x)
+    got = downsample_conv3x3_ref(x, k, b, asym)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_downsample_custom_vjp_matches_ref_grad(down_shapes):
+    from diffcodec_tpu.ops.conv_pallas import (_down_fused_bwd,
+                                               downsample_conv3x3_ref)
+    x, k, b = down_shapes
+    out, vjp = jax.vjp(lambda a, kk, bb: downsample_conv3x3_ref(
+        a, kk, bb, True), x, k, b)
+    g = jnp.cos(out)
+    want = vjp(g)
+    got = _down_fused_bwd(True, (x, k, b), g)
+    for w, gt in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(w), atol=1e-5)
+
+
+def test_downsample_gate_is_off():
+    """Measured negative: the gate must refuse every shape, including the
+    kernel's own best case, even with the fused-conv flag on."""
+    import os
+    from diffcodec_tpu.ops.conv_pallas import downsample_conv_qualifies
+    os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
+    try:
+        assert not downsample_conv_qualifies(
+            jnp.zeros((8, 512, 512, 128), jnp.bfloat16), 128)
+    finally:
+        del os.environ["DIFFCODEC_FUSED_SILU_CONV"]
