@@ -176,14 +176,22 @@ class CMPTrainer:
 
     def loss_fn(self, params, batch_stats, batch):
         """batch: {'image' [B,H,W,3], 'sparse' [B,H,W,4] (flow+mask),
-        'flow_target' [B,H,W,2]}."""
+        'flow_target' [B,H,W,2]}.
+
+        The flownet decoder returns logits at 4 scales (finest first);
+        its loss is the mean of the per-scale DiscreteLoss against the
+        bilinearly-downsampled target (each scale supervised the same
+        way the single-scale decoders are)."""
         logits, new_state = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], batch["sparse"], True,
             mutable=["batch_stats"], method=self.model.logits)
-        loss = discrete_flow_loss(logits, _downsample_target(
-            batch["flow_target"], logits.shape[1], logits.shape[2]),
-            self.nbins, self.fmax)
+        scales = logits if isinstance(logits, (list, tuple)) else [logits]
+        loss = sum(
+            discrete_flow_loss(lg, _downsample_target(
+                batch["flow_target"], lg.shape[1], lg.shape[2]),
+                self.nbins, self.fmax)
+            for lg in scales) / len(scales)
         return loss, new_state["batch_stats"]
 
     def train_step(self, params, batch_stats, opt_state, tx, batch):

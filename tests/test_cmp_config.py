@@ -166,3 +166,66 @@ def test_validation_rejects(mutate, match):
     raw["model"]["module"].update(mutate)
     with pytest.raises(ValueError, match=match):
         parse_cmp_config(raw)
+
+
+TINY_YAML = """
+model:
+    total_iter: 3
+    lr_steps: [2]
+    lr_mults: [0.1]
+    lr: 0.05
+    optim: SGD
+    module:
+        image_encoder: resnet50
+        sparse_encoder: shallownet8x
+        flow_decoder: MotionDecoderSkipLayer
+        skip_layer: True
+        img_enc_dim: 16
+        sparse_enc_dim: 4
+        output_dim: 18
+        decoder_combo: [1,2,4]
+        flow_criterion: "DiscreteLoss"
+        nbins: 9
+        fmax: 50
+data:
+    batch_size: 2
+    crop_size: [64, 64]
+    sample_strategy: ['grid']
+    sample_bg_ratio: 0.01
+    nms_ks: 5
+    max_num_guide: -1
+trainer:
+    print_freq: 1
+    val_freq: 100
+    save_freq: 2
+"""
+
+
+@pytest.mark.slow
+def test_train_cmp_cli_drill(tmp_path, capsys):
+    """The YAML-driven CMP training CLI end-to-end: synthetic data, the
+    config's sparse-sampling knobs, checkpoint rotation, and resume."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    mod = importlib.import_module("train_cmp")
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_YAML)
+    out = str(tmp_path / "run")
+    mod.main(["--config", str(cfg_path), "--output_dir", out,
+              "--synthetic", "6", "--crop", "64"])
+    text = capsys.readouterr().out
+    assert "iter 3/3" in text and "loss_flow=" in text
+    import os
+    names = sorted(os.listdir(out))
+    assert "checkpoint-2" in names and "checkpoint-3" in names
+    # resume continues the iteration counter past the restored step
+    mod.main(["--config", str(cfg_path), "--output_dir", out,
+              "--synthetic", "6", "--crop", "64", "--total_iter", "5",
+              "--resume", "latest"])
+    text = capsys.readouterr().out
+    assert "resumed from checkpoint-3" in text
+    assert "iter 5/5" in text

@@ -114,3 +114,33 @@ def test_cmp_train_step_runs_and_descends():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # learning on a constant target
+
+
+@pytest.mark.slow
+def test_cmp_train_step_flownet_multiscale():
+    """The flownet decoder emits logits at 4 scales; the loss must
+    supervise every scale (mean of per-scale DiscreteLoss) and the step
+    must still descend."""
+    cmp = CMP(img_enc_dim=8, sparse_enc_dim=4, nbins=9, fmax=50.0,
+              decoder="flownet")
+    B, H = 1, 64
+    img = jnp.ones((B, H, H, 3)) * 0.5
+    sparse = jnp.zeros((B, H, H, 4))
+    variables = cmp.init(jax.random.PRNGKey(0), img, sparse)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    # the decoder really is multi-scale here
+    logits = cmp.apply(variables, img, sparse, False,
+                       method=cmp.logits, mutable=False)
+    assert isinstance(logits, (list, tuple)) and len(logits) == 4
+    tx = make_cmp_optimizer(base_lr=0.01)
+    opt_state = tx.init(params)
+    trainer = CMPTrainer(model=cmp, nbins=9)
+    batch = {"image": img, "sparse": sparse,
+             "flow_target": jnp.full((B, H, H, 2), 3.0)}
+    losses = []
+    for _ in range(3):
+        params, batch_stats, opt_state, loss = trainer.train_step(
+            params, batch_stats, opt_state, tx, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
