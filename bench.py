@@ -50,13 +50,26 @@ points.
 Env knobs: BENCH_SMALL=1 (tiny wiring check), BENCH_BATCH=n (GOP batch),
 BENCH_POINTS=exact,cnint3 (filter the matrix), BENCH_FULL=1 (full matrix
 incl. 1080p), BENCH_1080=1/0 (force the tiled full-HD points on/off),
-BENCH_DISTILL=0 (skip the distilled point).
+BENCH_DISTILL=0 (skip the distilled point), BENCH_BUDGET_S=n (wall-clock
+budget, default 780 — sized under the observed ~900 s driver kill; when
+a point's estimated cold compile no longer fits, the exact headline is
+re-emitted and the process exits 0 instead of being killed mid-compile).
 """
 
 import json
 import os
 import sys
 import time
+
+# Wall-clock budget guard (VERDICT r04 #1): the driver kills bench.py at
+# ~900 s; two rounds of recorded headlines were degraded by rc=124.  The
+# clock starts HERE (before the jax import — backend/tunnel init can cost
+# minutes cold) and every compile is gated on a conservative estimate
+# fitting the remaining budget.  When a point no longer fits, the exact
+# summary line is emitted and we exit 0 so the recorded headline is the
+# exact point.
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "780"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -106,6 +119,49 @@ def emit(name, fps, extra=None):
     print(json.dumps(rec), flush=True)
 
 
+# Observed cold-cache compile+first-run seconds per point on the driver
+# (BENCH_r04 stderr: exact 632.5, exact_fusedconv 236.5; the rest from
+# warm-cache runs scaled by the same cold/warm ratio).  Deliberately
+# pessimistic — an over-estimate only skips an optional point, an
+# under-estimate risks rc=124 and the round's headline.
+COLD_FIRST_EST = {
+    "exact": 680.0,
+    "exact_fusedconv": 280.0,
+    "cnint2": 280.0,
+    "cnint3": 280.0,
+    "encint2": 280.0,
+    "cnint3_encint3": 280.0,
+    "distilled": 220.0,
+    "tiled": 260.0,
+}
+_MEASURE_MARGIN_S = 30.0  # steady-state timing loop after the first call
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - T0)
+
+
+class BudgetGuard:
+    """Gates each point's compile on the remaining wall-clock budget.
+
+    After the first point completes we know whether the persistent
+    compile cache was warm (first call tens of seconds) or cold
+    (hundreds); subsequent estimates are scaled by that observed ratio,
+    floored at 10% so a warm run never extrapolates to zero.
+    """
+
+    def __init__(self):
+        self.scale = 1.0  # assume cold until the first point lands
+
+    def observe(self, est_key, first_seconds):
+        est = COLD_FIRST_EST[est_key]
+        self.scale = max(0.1, min(1.2, first_seconds / est))
+
+    def fits(self, est_key):
+        need = COLD_FIRST_EST[est_key] * self.scale + _MEASURE_MARGIN_S
+        return _remaining() > need
+
+
 def build(small, dtype=jnp.bfloat16):
     unet_cfg = UNetConfig() if not small else UNetConfig.tiny()
     cn_cfg = (ControlNetConfig(unet=unet_cfg) if not small
@@ -120,23 +176,47 @@ def build(small, dtype=jnp.bfloat16):
 
 def init_params(unet_cfg, unet, controlnet, vae, H, dtype):
     h = H // 8
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     L, D = 77, unet_cfg.cross_attention_dim
-    sample = jnp.zeros((1, h, h, 4), dtype)
-    t0 = jnp.zeros((1,), jnp.int32)
-    ctx = jnp.zeros((1, L, D), dtype)
-    params = {
-        "controlnet": controlnet.init(k1, sample, t0, ctx,
-                                      jnp.zeros((1, H, H, 6), dtype),
-                                      jnp.zeros((1, H, H, 4), dtype)),
-        "unet": unet.init(k2, sample, t0, ctx),
-        "vae": vae.init(k3, jnp.zeros((1, 64, 64, 3), dtype)),
-    }
-    # frozen weights live on device in the compute dtype (the reference
-    # casts the frozen stack to weight_dtype, train_controlnet.py:984-993);
-    # keeps 2.5 GB of HBM free for multi-GOP batches
-    return jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+    def make():
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        sample = jnp.zeros((1, h, h, 4), dtype)
+        t0 = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, L, D), dtype)
+        params = {
+            "controlnet": controlnet.init(k1, sample, t0, ctx,
+                                          jnp.zeros((1, H, H, 6), dtype),
+                                          jnp.zeros((1, H, H, 4), dtype)),
+            "unet": unet.init(k2, sample, t0, ctx),
+            "vae": vae.init(k3, jnp.zeros((1, 64, 64, 3), dtype)),
+        }
+        # frozen weights live on device in the compute dtype (the reference
+        # casts the frozen stack to weight_dtype,
+        # train_controlnet.py:984-993); keeps 2.5 GB of HBM free for
+        # multi-GOP batches
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+            params)
+
+    # Throughput depends on shapes, not values, so the real init program
+    # (113 s cold compile; ~1,200 eager tunnel round-trips if not jitted)
+    # is replaced by eval_shape + ONE trivial RNG-free fill program:
+    # varied small values from an iota in every float leaf (per-leaf
+    # threefry normals measured another 138 s of cold compile).
+    leaves, treedef = jax.tree.flatten(jax.eval_shape(make))
+
+    def fill():
+        outs = []
+        for i, leaf in enumerate(leaves):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                v = jnp.arange(leaf.size, dtype=jnp.float32)
+                v = ((v + 17.0 * i) % 251.0) * 1e-4 - 0.0125
+                outs.append(v.reshape(leaf.shape).astype(leaf.dtype))
+            else:
+                outs.append(jnp.zeros(leaf.shape, leaf.dtype))
+        return jax.tree.unflatten(treedef, outs)
+
+    return jax.jit(fill)()
 
 
 def main():
@@ -160,8 +240,13 @@ def main():
         points = [(f"cnint{ci}_encint{ei}" if (ci > 1 or ei > 1) else "exact",
                    ci, ei, False)]
 
+    print(f"# t+{time.time() - T0:.0f}s: imports done, building models",
+          file=sys.stderr, flush=True)
     unet_cfg, unet, controlnet, vae, schedule = build(small, dtype)
     params = init_params(unet_cfg, unet, controlnet, vae, H, dtype)
+    jax.block_until_ready(params)
+    print(f"# t+{time.time() - T0:.0f}s: params initialized",
+          file=sys.stderr, flush=True)
 
     L, D = 77, unet_cfg.cross_attention_dim
     text = jax.random.normal(jax.random.PRNGKey(1), (B, L, D), dtype) * 0.02
@@ -175,7 +260,30 @@ def main():
             if not small else "decoded_frames_per_sec_small")
     pipes = {}
     exact_record = None
+    guard = BudgetGuard()
+
+    def emit_exact_summary():
+        # The driver parses the FINAL JSON line as the round's headline,
+        # which must be the exact point.  Called (a) before every
+        # post-exact compile — a dead-man switch so a driver kill
+        # mid-compile still leaves the exact record as the last line —
+        # and (b) at every exit path.
+        if exact_record is not None:
+            emit(exact_record[0], exact_record[1])
+
+    def bail(reason):
+        print(f"# budget guard: {reason} (elapsed={time.time() - T0:.0f}s "
+              f"of {BUDGET_S:.0f}s) — emitting exact headline and exiting",
+              file=sys.stderr)
+        emit_exact_summary()
+        sys.exit(0)
+
     for suffix, ci, ei, fused in points:
+        if exact_record is not None:
+            if not guard.fits(suffix if suffix in COLD_FIRST_EST
+                              else "exact_fusedconv"):
+                bail(f"{suffix} does not fit")
+            emit_exact_summary()
         # read at trace time by ops/conv_pallas.silu_conv3x3; each point
         # jits its own pipeline object, so the setting binds per point
         os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1" if fused else "0"
@@ -207,12 +315,18 @@ def main():
         emit(name, fps)
         if suffix == "exact":
             exact_record = (name, fps)
+        guard.observe(suffix if suffix in COLD_FIRST_EST
+                      else "exact_fusedconv", compile_and_first)
         print(f"# {suffix}: first(compile+run)={compile_and_first:.1f}s "
               f"steady={best:.3f}s/batch batch={B} times={times}",
               file=sys.stderr)
 
     dpipe = None
+    if os.environ.get("BENCH_DISTILL", "1") == "1" and not guard.fits(
+            "distilled"):
+        bail("distilled point does not fit")
     if os.environ.get("BENCH_DISTILL", "1") == "1":
+        emit_exact_summary()
         # K-step consistency-student decode (train/distill.py).  Labelled
         # "mechanism": with an untrained student this measures the speed of
         # the K-step no-CFG sampler, not a validated quality point — the
@@ -230,6 +344,7 @@ def main():
         dfn(params, jax.random.PRNGKey(20), text, cond,
             flow).block_until_ready()
         first = time.time() - t0
+        guard.observe("distilled", first)
         times = []
         for i in range(2):
             t0 = time.time()
@@ -241,7 +356,7 @@ def main():
              B / min(times))
         print(f"# distilled{K}step: first={first:.1f}s "
               f"steady={min(times):.3f}s/batch batch={B}", file=sys.stderr)
-        if full and not small and B == 7:
+        if full and not small and B == 7 and guard.fits("distilled"):
             # two GOPs in flight: the fused VAE decode (149 ms vs 320 at
             # batch 7) freed enough HBM for batch 14, which amortizes the
             # K-step loop's small-batch floors (+21% measured).  The exact
@@ -263,12 +378,6 @@ def main():
                  f"twogop_mechanism", b2 / min(times))
             print(f"# distilled{K}step 2-GOP: steady={min(times):.3f}"
                   f"s/batch batch={b2}", file=sys.stderr)
-
-    def emit_exact_summary():
-        # ALWAYS the last line: the driver parses the final JSON line as
-        # the round's headline, which must be the exact point.
-        if exact_record is not None:
-            emit(exact_record[0], exact_record[1])
 
     run_1080 = os.environ.get("BENCH_1080", "1" if full else "0") == "1"
     if small or not run_1080:
@@ -292,24 +401,32 @@ def main():
                    *([f"distilled{K}step_mechanism"] if dpipe else [])):
         if suffix not in pipes:
             continue
+        if not guard.fits("tiled"):
+            bail(f"1080p {suffix} does not fit")
+        emit_exact_summary()
         # sample_tiled re-jits via _jitted_sampler, so re-pin the fused
         # flag this point was built with before the tiled trace
         os.environ["DIFFCODEC_FUSED_SILU_CONV"] = "1"
         pipe = pipes[suffix]
-        # CFG pipes: tile_batch 5 (CFG batch 10; batch 16 falls off the
-        # HBM cliff).  The distilled student has no CFG doubling and the
-        # fused VAE freed the HBM, so all 15 tiles go in ONE launch
-        # (measured 3.29 vs 5.13 s/frame at tile_batch 5).
-        tb = 15 if suffix.startswith("distilled") else 5
+        # CFG pipes: tile_batch 7 = CFG batch 14, the flagship pipe's
+        # proven envelope (batch 16 falls off the HBM cliff).  The
+        # distilled student has no CFG doubling and the fused VAE freed
+        # the HBM, so all 15 tiles go in ONE launch (measured 3.29 vs
+        # 5.13 s/frame at tile_batch 5).  BENCH_TILE_BATCH/_OVERLAP
+        # override for sweeps (overlap 32 = 12 tiles, 20% less redundant
+        # compute; 64 is the patch_exp.ipynb parity default).
+        tb = (15 if suffix.startswith("distilled")
+              else int(os.environ.get("BENCH_TILE_BATCH", "7")))
+        ov = int(os.environ.get("BENCH_TILE_OVERLAP", "64"))
         t0 = time.time()
         sample_tiled(pipe, params, jax.random.PRNGKey(5), text_hd, text_hd,
-                     cond_hd, flow_hd, tile=(512, 512), overlap=64,
-                     tile_batch=tb)
+                     cond_hd, flow_hd, tile=(512, 512), overlap=ov,
+                     feather=min(64, ov), tile_batch=tb)
         first = time.time() - t0
         t0 = time.time()
         sample_tiled(pipe, params, jax.random.PRNGKey(6), text_hd, text_hd,
-                     cond_hd, flow_hd, tile=(512, 512), overlap=64,
-                     tile_batch=tb)
+                     cond_hd, flow_hd, tile=(512, 512), overlap=ov,
+                     feather=min(64, ov), tile_batch=tb)
         dt = time.time() - t0
         if suffix.startswith("distilled"):
             name = f"decoded_frames_per_sec_1080p_tiled_{suffix}"

@@ -109,6 +109,21 @@ def parse_intra_inter_storage(path: str) -> Dict[str, int]:
 # VVC (vvenc/vvdec) — `vcc_test.sh`, `vvc_decode.sh`
 # ---------------------------------------------------------------------------
 
+def encode_vvenc(yuv_path: str, out_path: str, bpp: float, width: int,
+                 height: int, fps: float, gop: int, num_frames: int = 97,
+                 preset: str = "medium") -> None:
+    """VVC-encode a raw YUV420p file via ffmpeg's libvvenc
+    (`vcc_test.sh:40-50` loop body: rawvideo input geometry, -preset
+    medium, -g GOP, bitrate from the bpp formula, .vvc bitstream out)."""
+    ffmpeg = _require("ffmpeg")
+    bitrate = bpp_to_bitrate(bpp, width, height, fps)
+    subprocess.run(
+        [ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", "yuv420p",
+         "-s:v", f"{width}x{height}", "-r", str(fps), "-i", yuv_path,
+         "-frames:v", str(num_frames), "-c:v", "libvvenc",
+         "-preset", preset, "-g", str(gop), "-b:v", str(bitrate), out_path],
+        check=True, capture_output=True)
+
 _POC_BITS_RE = re.compile(r"POC\s+(\d+).*?(\d+)\s+bits", re.IGNORECASE)
 _SLICE_RE = re.compile(r"\b([IPB])-?SLICE\b|\(\s*([IPB])[\s,)]",
                        re.IGNORECASE)

@@ -152,6 +152,13 @@ class TrainConfig:
     # precision than bnb's 8-bit dynamic quantization).  Saves
     # 8 bytes/param of HBM (2.8 GB for the SD-scale ControlNet)
     lowp_adam_moments: bool = False
+    # serialize the Adam update over this many size-balanced leaf groups
+    # (lax.optimization_barrier chaining) so only one group's f32 moment
+    # transients are live at a time — bounds the update's peak-HBM
+    # contribution to ~tree/K.  0 = single fused update (XLA keeps
+    # whole-tree f32 transients live at the peak; the measured binding
+    # constraint for batch>8 single-chip training, scripts/bench_train.py)
+    adam_update_chunks: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,14 +56,19 @@ class NoiseSchedule:
     alphas_cumprod: jnp.ndarray  # [T] float32
 
     @classmethod
-    def create(cls, cfg: SchedulerConfig = SchedulerConfig()):
+    def create(cls, cfg: SchedulerConfig = SchedulerConfig(),
+               dtype=jnp.float32):
+        # dtype=float64 (under jax.experimental.enable_x64) exists for the
+        # diffusers-oracle parity tests; production is always float32.
         betas = make_betas(cfg)
         alphas_cumprod = np.cumprod(1.0 - betas)
         return cls(cfg=cfg,
-                   alphas_cumprod=jnp.asarray(alphas_cumprod, jnp.float32))
+                   alphas_cumprod=jnp.asarray(alphas_cumprod, dtype))
 
     def _coeffs(self, timesteps, ndim):
-        abar = self.alphas_cumprod[timesteps].astype(jnp.float32)
+        abar = self.alphas_cumprod[timesteps]
+        if abar.dtype not in (jnp.float32, jnp.float64):
+            abar = abar.astype(jnp.float32)
         shape = (-1,) + (1,) * (ndim - 1)
         return (jnp.sqrt(abar).reshape(shape),
                 jnp.sqrt(1.0 - abar).reshape(shape))
@@ -82,8 +87,9 @@ class NoiseSchedule:
     def pred_original_sample(self, sample, model_output, timesteps):
         """x̂0 from (x_t, model output, t) — `controlnet/utils.py:54-90`."""
         sa, so = self._coeffs(timesteps, sample.ndim)
-        sample = sample.astype(jnp.float32)
-        model_output = model_output.astype(jnp.float32)
+        ct = jnp.result_type(jnp.float32, sample.dtype)
+        sample = sample.astype(ct)
+        model_output = model_output.astype(ct)
         if self.cfg.prediction_type == "epsilon":
             return (sample - so * model_output) / sa
         if self.cfg.prediction_type == "v_prediction":
@@ -176,7 +182,7 @@ class UniPC:
     schedule: NoiseSchedule
     num_inference_steps: int
 
-    def tables(self) -> UniPCTables:
+    def tables(self, dtype=jnp.float32) -> UniPCTables:
         N = self.num_inference_steps
         ts = unipc_timesteps(self.schedule.cfg.num_train_timesteps, N)
         abar = np.asarray(self.schedule.alphas_cumprod, np.float64)
@@ -247,17 +253,21 @@ class UniPC:
                 c_cd1t[i] = -alpha[i] * B_h * rho_t
                 c_cd1h[i] = -alpha[i] * B_h * rho_h
 
-        f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        # dtype=float64 (under jax.experimental.enable_x64) is used by the
+        # diffusers-oracle parity test to separate update-math agreement
+        # from float32 carry rounding; production always uses float32.
+        cast = lambda a: jnp.asarray(a, dtype)  # noqa: E731
         return UniPCTables(
             timesteps=jnp.asarray(ts, jnp.int32),
-            p_cx=f32(p_cx), p_cm0=f32(p_cm0), p_cd1=f32(p_cd1),
-            p_invr=f32(p_invr), c_on=f32(c_on), c_cx=f32(c_cx),
-            c_cm0=f32(c_cm0), c_cd1t=f32(c_cd1t), c_cd1h=f32(c_cd1h),
-            c_invr=f32(c_invr))
+            p_cx=cast(p_cx), p_cm0=cast(p_cm0), p_cd1=cast(p_cd1),
+            p_invr=cast(p_invr), c_on=cast(c_on), c_cx=cast(c_cx),
+            c_cm0=cast(c_cm0), c_cd1t=cast(c_cd1t), c_cd1h=cast(c_cd1h),
+            c_invr=cast(c_invr))
 
-    def init_state(self, latents: jnp.ndarray) -> UniPCState:
-        z = jnp.zeros_like(latents, dtype=jnp.float32)
-        return UniPCState(sample=latents.astype(jnp.float32), last_sample=z,
+    def init_state(self, latents: jnp.ndarray,
+                   dtype=jnp.float32) -> UniPCState:
+        z = jnp.zeros_like(latents, dtype=dtype)
+        return UniPCState(sample=latents.astype(dtype), last_sample=z,
                           m_prev=z, m_prev2=z)
 
     def convert_to_x0(self, sample, model_output, t):

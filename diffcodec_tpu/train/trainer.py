@@ -55,7 +55,8 @@ def make_lr_schedule(cfg: TrainConfig):
 
 
 def scale_by_adam_lowp(b1: float, b2: float, eps: float,
-                       moment_dtype=jnp.bfloat16):
+                       moment_dtype=jnp.bfloat16,
+                       sequential_chunks: int = 0):
     """Adam with both moments STORED in `moment_dtype` (math in f32).
 
     The TPU-native analogue of the reference's optional
@@ -64,6 +65,14 @@ def scale_by_adam_lowp(b1: float, b2: float, eps: float,
     precision than bitsandbytes' 8-bit dynamic quantization (bf16 has an
     8-bit mantissa vs bnb's shared-exponent blocks).  Update math matches
     optax.scale_by_adam up to the storage rounding.
+
+    `sequential_chunks > 0` serializes the update over that many
+    size-balanced leaf groups with `lax.optimization_barrier` chaining:
+    XLA's buffer assignment otherwise keeps the whole-tree f32 transient
+    copies of mu/nu live at the peak point (the measured binding
+    constraint for batch>8 single-chip training — bench_train.py OOM
+    table); chaining bounds the transient to one chunk (~tree/K), at the
+    cost of less cross-leaf overlap in the (bandwidth-bound) update.
     """
 
     def init(params):
@@ -72,32 +81,66 @@ def scale_by_adam_lowp(b1: float, b2: float, eps: float,
                                       mu=jax.tree.map(z, params),
                                       nu=jax.tree.map(z, params))
 
+    def _leaf_update(g, m, v, c1, c2):
+        g32 = g.astype(jnp.float32)
+        m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g32
+        v32 = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
+        out = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+        return (out.astype(g.dtype), m32.astype(moment_dtype),
+                v32.astype(moment_dtype))
+
     def update(updates, state, params=None):
         del params
         count = optax.safe_int32_increment(state.count)
-
-        def upd_mu(g, m):
-            return b1 * m.astype(jnp.float32) + (1 - b1) * g.astype(
-                jnp.float32)
-
-        def upd_nu(g, v):
-            g = g.astype(jnp.float32)
-            return b2 * v.astype(jnp.float32) + (1 - b2) * g * g
-
-        mu = jax.tree.map(upd_mu, updates, state.mu)
-        nu = jax.tree.map(upd_nu, updates, state.nu)
         c1 = 1 - b1 ** count.astype(jnp.float32)
         c2 = 1 - b2 ** count.astype(jnp.float32)
 
-        def step(m, v, g):
-            out = (m / c1) / (jnp.sqrt(v / c2) + eps)
-            return out.astype(g.dtype)
+        flat_g, treedef = jax.tree.flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
 
-        new_updates = jax.tree.map(step, mu, nu, updates)
-        cast = lambda t: jax.tree.map(
-            lambda x: x.astype(moment_dtype), t)
-        return new_updates, optax.ScaleByAdamState(count=count,
-                                                   mu=cast(mu), nu=cast(nu))
+        if sequential_chunks and len(flat_g) > 1:
+            # size-balanced contiguous grouping of the leaves
+            K = min(sequential_chunks, len(flat_g))
+            total = sum(g.size for g in flat_g)
+            groups, cur, acc = [], [], 0
+            for idx, g in enumerate(flat_g):
+                cur.append(idx)
+                acc += g.size
+                if acc >= total * (len(groups) + 1) / K and len(groups) < K - 1:
+                    groups.append(cur)
+                    cur = []
+            if cur:
+                groups.append(cur)
+
+            out_u = [None] * len(flat_g)
+            out_m = [None] * len(flat_g)
+            out_v = [None] * len(flat_g)
+            token = count.astype(jnp.float32)
+            for grp in groups:
+                # tie this group's inputs to the previous group's outputs
+                # so XLA cannot overlap their f32 transients
+                tied = jax.lax.optimization_barrier(
+                    tuple(flat_g[i] for i in grp) + (token,))
+                gs, token = tied[:-1], tied[-1]
+                outs = []
+                for g, i in zip(gs, grp):
+                    u, m, v = _leaf_update(g, flat_m[i], flat_v[i], c1, c2)
+                    out_u[i], out_m[i], out_v[i] = u, m, v
+                    outs.append(u)
+                token = jax.lax.optimization_barrier(
+                    tuple(outs) + (token,))[-1]
+            new_updates = jax.tree.unflatten(treedef, out_u)
+            mu = jax.tree.unflatten(treedef, out_m)
+            nu = jax.tree.unflatten(treedef, out_v)
+        else:
+            trips = [_leaf_update(g, m, v, c1, c2)
+                     for g, m, v in zip(flat_g, flat_m, flat_v)]
+            new_updates = jax.tree.unflatten(treedef, [t[0] for t in trips])
+            mu = jax.tree.unflatten(treedef, [t[1] for t in trips])
+            nu = jax.tree.unflatten(treedef, [t[2] for t in trips])
+
+        return new_updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
 
@@ -106,7 +149,8 @@ def make_optimizer(cfg: TrainConfig):
     if cfg.lowp_adam_moments:
         adam = optax.chain(
             scale_by_adam_lowp(cfg.adam_beta1, cfg.adam_beta2,
-                               cfg.adam_epsilon),
+                               cfg.adam_epsilon,
+                               sequential_chunks=cfg.adam_update_chunks),
             optax.add_decayed_weights(cfg.adam_weight_decay),
             optax.scale_by_learning_rate(make_lr_schedule(cfg)),
         )

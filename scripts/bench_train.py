@@ -71,13 +71,15 @@ from diffcodec_tpu.train.trainer import (ControlNetTrainer, TrainState,
 B = int(os.environ.get("TB_BATCH", "4"))
 REMAT = os.environ.get("TB_REMAT") == "1"
 LOWP = os.environ.get("TB_LOWP") == "1"
+CHUNKS = int(os.environ.get("TB_CHUNKS", "0"))  # sequential Adam groups
 H = 512
 unet = UNet2DConditionModel(UNetConfig(), dtype=jnp.bfloat16)
 cn = DualFlowControlNet(ControlNetConfig(), dtype=jnp.bfloat16)
 vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
 schedule = NoiseSchedule.create(SchedulerConfig())
 cfg = TrainConfig(learning_rate=1e-5, lr_warmup_steps=0, max_train_steps=100,
-                  remat=REMAT, lowp_adam_moments=LOWP)
+                  remat=REMAT, lowp_adam_moments=LOWP,
+                  adam_update_chunks=CHUNKS)
 mesh = make_mesh(MeshConfig(), devices=jax.devices()[:1])
 
 rng = jax.random.PRNGKey(0)

@@ -37,6 +37,9 @@ def main():
     # falls off a memory cliff at tile_batch 8 (CFG 16): 85 s/chunk vs
     # ~3.6 s at 5
     ap.add_argument("--tile_batch", type=int, default=5)
+    # overlap 64 = patch_exp.ipynb parity (15 tiles at 1080p); 32 = the
+    # opt-in reduced-redundancy grid (12 tiles, ~20% less compute)
+    ap.add_argument("--overlap", type=int, default=64)
     ap.add_argument("--out", default="artifacts/profile_tiled.json")
     args = ap.parse_args()
 
@@ -52,7 +55,7 @@ def main():
     unet_cfg, unet, controlnet, vae, schedule = build(False, dtype)
     params = init_params(unet_cfg, unet, controlnet, vae, T, dtype)
     H, W = args.height, args.width
-    coords = tile_grid(H, W, (T, T), 64)
+    coords = tile_grid(H, W, (T, T), args.overlap)
     n_tiles = len(coords)
     rng = np.random.default_rng(0)
     # uint8 conditioning: raw transfer + on-device normalize (lossless;
@@ -62,7 +65,7 @@ def main():
     L, D = 77, unet_cfg.cross_attention_dim
     text = rng.standard_normal((1, L, D)).astype(np.float32) * 0.02
 
-    report = {"resolution": [H, W], "tile": T, "overlap": 64,
+    report = {"resolution": [H, W], "tile": T, "overlap": args.overlap,
               "n_tiles": n_tiles, "steps": args.steps,
               "tile_batch": args.tile_batch, "points": {}}
 
@@ -77,7 +80,7 @@ def main():
         # warm: compile every chunk shape through the public entry
         t0 = time.time()
         out = sample_tiled(pipe, params, jax.random.PRNGKey(1), text, text,
-                           cond, flow, tile=(T, T), overlap=64,
+                           cond, flow, tile=(T, T), overlap=args.overlap,
                            tile_batch=args.tile_batch)
         first = time.time() - t0
 
@@ -118,7 +121,8 @@ def main():
         t0 = time.time()
         per_frame = [tiles_out[k][:y2 - y1, :x2 - x1]
                      for k, (y1, y2, x1, x2) in enumerate(coords)]
-        merge_tiles(per_frame, coords, (H, W), feather=64, as_uint8=False)
+        merge_tiles(per_frame, coords, (H, W), feather=min(64, args.overlap),
+                    as_uint8=False)
         t_merge = time.time() - t0
 
         total = t_crop + t_upload + t_sample + t_fetch + t_merge

@@ -266,15 +266,17 @@ def main(argv=None):
                 decoded = decode_video(enc, sample_fn,
                                        densify_fn=densify_fn)
                 inter_idx = [i for i in range(N) if i % gop != 0]
-                # I3D's temporal receptive field needs a real clip length
-                gates = dict(lpips_fn=lpips_fn, fid_fn=fid_fn,
-                             fvd_fn=fvd_fn if N >= 16 else None)
+                # I3D's temporal receptive field needs a real clip length;
+                # gated per-call so a 16-frame run still gets the
+                # all-frames FVD even when the inter subset is shorter
                 metrics_out[g][video][mode] = {
-                    "all": calculate_metrics_batch(frames, decoded,
-                                                   **gates),
-                    "inter": calculate_metrics_batch(frames[inter_idx],
-                                                     decoded[inter_idx],
-                                                     **gates),
+                    "all": calculate_metrics_batch(
+                        frames, decoded, lpips_fn=lpips_fn, fid_fn=fid_fn,
+                        fvd_fn=fvd_fn if N >= 16 else None),
+                    "inter": calculate_metrics_batch(
+                        frames[inter_idx], decoded[inter_idx],
+                        lpips_fn=lpips_fn, fid_fn=fid_fn,
+                        fvd_fn=fvd_fn if len(inter_idx) >= 16 else None),
                 }
                 print(f"{video} {tag}: bpp={enc.meta['bpp']['total']:.5f} "
                       f"psnr={metrics_out[g][video][mode]['all']['psnr']:.2f}")

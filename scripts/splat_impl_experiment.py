@@ -36,14 +36,20 @@ from diffcodec_tpu.ops.softsplat import (_splat_sum_scatter as
 from diffcodec_tpu.ops.softsplat_pallas import splat_sum_pallas
 
 
-SHAPES = [  # (B, H, W, C) at the extractor's call sites (warper + occl)
-    (14, 64, 64, 161),
-    (14, 32, 32, 161),
-    (14, 16, 16, 321),
-    (14, 8, 8, 641),
-    (14, 64, 64, 3),
-    (14, 32, 32, 3),
+# (H, W, C) at the extractor's call sites (warper + occl), swept over
+# the three production batch sizes: 4 (train grad-accum micro-batch),
+# 14 (CFG decode), 28 (2-GOP CFG) — VERDICT r04 #8 / ADVICE r03: confirm
+# the B=14 crossovers hold across B or fold B into the dispatch.
+HWC_SHAPES = [
+    (64, 64, 161),
+    (32, 32, 161),
+    (16, 16, 321),
+    (8, 8, 641),
+    (64, 64, 3),
+    (32, 32, 3),
 ]
+BATCHES = [4, 14, 28]
+SHAPES = [(b, h, w, c) for (h, w, c) in HWC_SHAPES for b in BATCHES]
 
 
 def main():
@@ -81,10 +87,10 @@ def main():
             except Exception as e:  # noqa: BLE001 - record and move on
                 print(f"{name} {H}x{W}x{C}: FAILED {type(e).__name__}",
                       flush=True)
-                report[f"{name}_{H}x{W}x{C}_ms"] = None
+                report[f"{name}_B{B}_{H}x{W}x{C}_ms"] = None
                 continue
-            report[f"{name}_{H}x{W}x{C}_ms"] = round(ms, 3)
-            print(f"{name} {H}x{W}x{C}: {ms:.3f} ms", flush=True)
+            report[f"{name}_B{B}_{H}x{W}x{C}_ms"] = round(ms, 3)
+            print(f"{name} B{B} {H}x{W}x{C}: {ms:.3f} ms", flush=True)
 
     # gradient-path timing at the hot shape (training runs the VJP): the
     # one-hot form's VJP is two more quadratic matmuls; scatter's is a

@@ -327,3 +327,31 @@ def test_lowp_adam_matches_adamw():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=2e-5)
+
+
+def test_chunked_adam_update_matches_unchunked():
+    """sequential_chunks only changes scheduling (peak HBM), never values:
+    the chunked lowp-Adam update must equal the fused one bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffcodec_tpu.train.trainer import scale_by_adam_lowp
+
+    rng = np.random.default_rng(0)
+    params = {"a": jnp.asarray(rng.normal(size=(64, 32)), jnp.float32),
+              "b": {"w": jnp.asarray(rng.normal(size=(128,)), jnp.float32),
+                    "v": jnp.asarray(rng.normal(size=(16, 16, 3)),
+                                     jnp.float32)}}
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), p.dtype), params)
+
+    tx0 = scale_by_adam_lowp(0.9, 0.999, 1e-8)
+    tx3 = scale_by_adam_lowp(0.9, 0.999, 1e-8, sequential_chunks=3)
+    s0, s3 = tx0.init(params), tx3.init(params)
+    for _ in range(3):
+        u0, s0 = jax.jit(tx0.update)(grads, s0, params)
+        u3, s3 = jax.jit(tx3.update)(grads, s3, params)
+        for l0, l3 in zip(jax.tree.leaves(u0), jax.tree.leaves(u3)):
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(l3))
+        for l0, l3 in zip(jax.tree.leaves(s0.mu), jax.tree.leaves(s3.mu)):
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(l3))

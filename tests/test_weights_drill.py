@@ -302,7 +302,10 @@ def test_weights_day_playbook(tiny_checkpoint_dir, aux_checkpoint_dir,
     (vdir / "Flow").mkdir()
     (vdir / "Flow_b").mkdir()
     H = W = 64  # CMP (sparse mode) needs >= 64px
-    for i in range(4):
+    # 16 frames: the FVD gate needs a clip at least I3D's temporal
+    # receptive field long (rd_sweep gates fvd_fn on N >= 16), so the
+    # drill exercises the FULL metric plumbing incl. I3D features
+    for i in range(16):
         Image.fromarray((rng.random((H, W, 3)) * 255).astype(np.uint8)
                         ).save(vdir / "frames" / f"frame_{i:04d}.png")
         flow = rng.normal(0, 1.5, (H, W, 2)).astype(np.float32)
@@ -337,6 +340,9 @@ def test_weights_day_playbook(tiny_checkpoint_dir, aux_checkpoint_dir,
     for bpp, mets in pts.values():
         assert bpp > 0 and np.isfinite(mets["psnr"])
         assert "lpips" in mets and "fid" in mets  # aux gates ran
+        # the full metric plumbing executed: I3D features -> Frechet
+        # (non-null fvd in the drill report, VERDICT r04 #7)
+        assert "fvd" in mets and np.isfinite(mets["fvd"]), mets
     # sparse mode pays flow bits on top of intra
     assert pts["sparse"][0] > pts["none"][0]
     # stage 2: BD tables computed for the 2-point curve (values may be
