@@ -410,7 +410,20 @@ class Attention(nn.Module):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            if long_self and self.head_dim % 128 != 0:
+                # transposed-PV orientation for lane-padded head dims:
+                # o^T = v^T @ p^T streams d rows at 8/16-granule SUBLANE
+                # padding (40->48, 1.2x) instead of padding d to 128
+                # output LANES (3.2x).  Isolated PV: 4.45 vs 9.08 ms at
+                # [14,8,4096,40]; fused full-attention: 3.64 vs 3.87 ms
+                # there and 4.96 vs 5.07 at [14,8,1024,80], output
+                # bit-identical at both shapes
+                # (artifacts/attn_orientation_experiment.json,
+                # scripts/attn_orientation_experiment.py)
+                out = jnp.einsum("bkhd,bhqk->bhdq", v,
+                                 probs).transpose(0, 3, 1, 2)
+            else:
+                out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, Lq, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 

@@ -213,18 +213,19 @@ def _dispatch_tpu(vals):
     """Measured per-shape winner on v5e with flow-VARYING chained feedback
     (artifacts/splat_impl_experiment.json; the earlier flow-invariant
     timings hoisted the one-hot construction and were ~50x too low).
-    All rows measured at B=14 (the extractor's CFG batch); the heuristic
-    keys on H*W and C only, since the one-hot forms' 4*(HW)^2*C MAC cost
-    and the scatter form's 4*HW*C move cost both scale linearly in B, so
-    the crossover shape is ~B-independent.  Re-measure the table (one
+    Swept over B in {4, 14, 28} — the train micro-batch, CFG decode, and
+    2-GOP CFG batches (VERDICT r04 #8).  The crossover SHAPE is mostly
+    B-independent (both cost models scale linearly in B), with two
+    measured exceptions folded in below.  Re-measure the table (one
     script run) if a future toolchain shifts the scatter lowering.
 
-        64x64x161: scatter 7.9 | pallas 27.0 | xla 70.9   ms
-        32x32x161: scatter 2.4 | pallas  4.0 | xla  9.3
-        16x16x321: pallas  2.1 | scatter 2.5 | xla  3.9
-        8x8x641:   xla     2.0 | scatter 2.2 | pallas 3.0
-        64x64x3:   xla     2.3 | scatter 4.0 | pallas 11.6
-        32x32x3:   xla     1.8 | scatter 2.1 | pallas 2.6
+        ms at            B=4                B=14               B=28
+        64x64x161: scat 3.3 (pls  9.2) scat  8.5 (pls 27.5) scat 16.5 (pls 53)
+        32x32x161: scat 2.1 (pls  2.7) scat  2.6 (pls  4.5) scat  4.7 (pls 6.6)
+        16x16x321: scat 1.7 (xla  2.0) scat  1.9 (pls  2.0) scat  2.2 (pls 2.6)
+        8x8x641:   xla  1.7 (pls  1.8) pls   1.9 (scat 2.0) pls   2.0 (scat 2.0)
+        64x64x3:   scat 2.3 (xla  4.6) xla   2.3 (scat 4.1) xla   3.3 (scat 8.4)
+        32x32x3:   xla  1.7 (scat 1.8) xla   2.0 (scat 2.1) xla   2.3 (scat 2.7)
 
     Returns 'scatter' | 'pallas' | 'xla'."""
     B, H, W, C = vals.shape
@@ -234,12 +235,21 @@ def _dispatch_tpu(vals):
         # path would cost teraflops); the scatter form stays linear
         return "scatter"
     if C <= 8:
+        # tiny-channel splats (occlusion masks): XLA's one-hot matmuls win
+        # EXCEPT at 64x64 with a small batch, where the quadratic MACs
+        # aren't amortized (B=4: scatter 2.3 vs xla 4.6 ms — the
+        # train-step occlusion shape)
+        if H * W >= 4096 and B <= 8:
+            return "scatter"
         return "xla"
-    if H * W >= 1024:
-        return "scatter"
     if H * W >= 256:
-        return "pallas"
-    return "xla"
+        # scatter won or tied pallas at every (B, shape) in the sweep;
+        # the B=14-only table previously sent 16x16 to pallas (2.05 vs
+        # 1.86 — within noise, flipped across sessions)
+        return "scatter"
+    # 8x8: sub-0.3 ms spreads; xla at small B, pallas once the quadratic
+    # term amortizes
+    return "xla" if B <= 8 else "pallas"
 
 
 def _splat_sum_diff(vals, flow):

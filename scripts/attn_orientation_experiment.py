@@ -87,9 +87,11 @@ def main():
         k = jax.random.normal(kk, (B, L, H, D), jnp.bfloat16)
         v = jax.random.normal(kv, (B, L, H, D), jnp.bfloat16)
         scale = 1.0 / (D ** 0.5)
+        # bf16 end-to-end: the f32 intermediate would be 7.5 GB at the
+        # 4096-seq shape (OOMs alongside the chained-feedback buffers);
+        # values are timing filler, only the shape/dtype matter
         probs = jax.nn.softmax(
-            jax.random.normal(kp, (B, H, L, L), jnp.float32), -1
-        ).astype(jnp.bfloat16)
+            jax.random.normal(kp, (B, H, L, L), jnp.bfloat16), -1)
 
         entry = {}
 
@@ -122,12 +124,16 @@ def main():
                 lambda qq, kk_, vv, sc: fn(qq, kk_, vv, sc),
                 fb_qkv, q, k, v, scale, rep=rep) * 1e3
 
-        # numeric agreement of the variants (same math, fp reassociation)
-        o0 = attn_std(q, k, v, scale)
+        # numeric agreement of the variants (same math, fp reassociation).
+        # B=2 slice, jitted: agreement is B-independent and the eager
+        # full-batch f32 logits (7.5 GB at L=4096) OOM next to the
+        # timing buffers
+        qs, ks, vs = q[:2], k[:2], v[:2]
         for name, fn in (("attn_pvT", attn_pvT),
                          ("attn_kmajor", attn_kmajor)):
-            d = jnp.max(jnp.abs(fn(q, k, v, scale).astype(jnp.float32)
-                                - o0.astype(jnp.float32)))
+            d = jax.jit(lambda a, b, c, f=fn: jnp.max(jnp.abs(
+                f(a, b, c, scale).astype(jnp.float32)
+                - attn_std(a, b, c, scale).astype(jnp.float32))))(qs, ks, vs)
             entry[f"{name}_maxdiff"] = float(d)
 
         report[key] = {k2: (round(v2, 3) if isinstance(v2, float) else v2)

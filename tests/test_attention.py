@@ -132,3 +132,23 @@ def test_pick_self_attn_impl_policy():
     # off-TPU: einsum within budget (flash is a TPU kernel)
     assert pick_self_attn_impl(4, 8, 4096, 4096, False, 8 * GiB)[0] == \
         "einsum"
+
+
+def test_einsum_pvT_orientation_matches_std():
+    """The lane-padded einsum branch (head_dim % 128 != 0) computes PV in
+    the transposed orientation (o^T = v^T @ p^T, models/layers.py) —
+    measured 3.64 vs 3.87 ms at the CFG decode shape with bit-identical
+    output on TPU (artifacts/attn_orientation_experiment.json).  Pin the
+    orientations equal at fp32 roundoff on any backend."""
+    rng = np.random.default_rng(7)
+    B, L, H, D = 2, 1024, 4, 40
+    q = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * (D ** -0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    std = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    pvt = jnp.einsum("bkhd,bhqk->bhdq", v, p).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(np.asarray(pvt), np.asarray(std),
+                               atol=2e-5, rtol=1e-5)
