@@ -10,6 +10,7 @@ CLIPTextModel) — re-implemented TPU-first, not translated.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -391,10 +392,23 @@ class Attention(nn.Module):
         impl = self.self_attn_impl
         q_block = 2048
         if long_self and impl == "auto":
-            impl, q_block = pick_self_attn_impl(
-                B, self.heads, Lq, Lk,
-                on_tpu=jax.default_backend() == "tpu",
-                logits_budget=self.auto_logits_budget)
+            # Trace-time override (same pattern as DIFFCODEC_FUSED_SILU_CONV):
+            # the 'auto' boundaries are measured for INFERENCE; under
+            # gradients the einsum branch additionally saves its f32 logits
+            # + probs for the backward pass (8 GB + 4 GB at batch 16,
+            # L=4096, 8 heads — the measured single-chip OOM constraint for
+            # batch>8 training, scripts/bench_train.py).  The training
+            # harnesses set this to 'flash' (bounded-memory Pallas kernel
+            # with its own fwd/bwd, already auto-picked at batch<=8 where
+            # B*heads <= 64).
+            env = os.environ.get("DIFFCODEC_LONG_ATTN_IMPL", "")
+            if env:
+                impl = env
+            else:
+                impl, q_block = pick_self_attn_impl(
+                    B, self.heads, Lq, Lk,
+                    on_tpu=jax.default_backend() == "tpu",
+                    logits_budget=self.auto_logits_budget)
         if long_self and impl == "flash" and \
                 jax.default_backend() == "tpu":
             out = _flash_self_attention(q, k, v, scale)

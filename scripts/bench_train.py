@@ -47,6 +47,30 @@ frozen VAE encoder entirely, train/latent_cache.py): batch 8 =
 precision).  Requires ColorJitter off, so it is an opt-in operating
 point, not the parity default.
 
+2026-08-21 (round 5), chunked-Adam retry of batch>8 (VERDICT r04 #4 —
+donate_argnums was already on the step; TB_CHUNKS serializes the Adam
+update so whole-tree f32 moment transients are never simultaneously
+live, equality-tested in tests/test_train_sharding.py):
+  * b12 lowp+chunks8:  XLA compile still running at the 900 s kill on
+    this 1-core box — no result obtainable here.
+  * b16 lowp+chunks8:  compile-time OOM 17.63G/15.75G, and the
+    allocation table now names a DIFFERENT binding constraint than the
+    round-4 attribution: the ControlNet-trunk einsum self-attention's
+    backward residuals — f32[16,8,4096,4096] logits (8.00G) + bf16
+    probs (4.00G).  Chunking DID retire the Adam-transient peak; the
+    next wall is attention activations, which the inference-tuned
+    'auto' dispatch materializes at B*heads > 64 (batch<=8 trains on
+    the bounded-memory flash kernel already).
+  * b16 lowp+chunks8 + DIFFCODEC_LONG_ATTN_IMPL=flash (the attention
+    fix, models/layers.py trace-time override): compile exceeded a
+    1,200 s budget on this box — the candidate configuration for any
+    multi-core host, unresolvable here.  Untested variant: flash
+    without chunks (the barrier chain may itself be a compile-time
+    hazard at b16 scale).
+Single-chip batch 8 (18.6-19.0 samples/s, 22.6 with TB_LATCACHE=1)
+remains the measured frontier; larger batches stay a multichip-fsdp
+job.
+
 Usage: python scripts/bench_train.py   (TB_BATCH=n to vary the batch,
 TB_REMAT=1 for gradient checkpointing, TB_LOWP=1 for bf16 Adam
 moments, TB_LATCACHE=1 for precomputed latent moments)

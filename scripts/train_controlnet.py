@@ -68,6 +68,18 @@ def parse_args(argv=None):
     p.add_argument("--lowp_adam", action="store_true",
                    help="bf16 Adam moments — the --use_8bit_adam analogue "
                         "(reference train_controlnet.py:469)")
+    p.add_argument("--adam_update_chunks", type=int, default=0,
+                   help="serialize the Adam update over N leaf groups "
+                        "(bounds the f32 moment-transient peak to "
+                        "~tree/N; see TrainConfig.adam_update_chunks)")
+    p.add_argument("--long_attn_impl", default="",
+                   choices=["", "einsum", "qchunk", "flash", "chunked"],
+                   help="override the long self-attention impl for every "
+                        "'auto' Attention (trace-time env "
+                        "DIFFCODEC_LONG_ATTN_IMPL).  'flash' bounds the "
+                        "train-step attention memory: the einsum branch "
+                        "saves 12 GB of logits+probs for backward at "
+                        "batch 16 (scripts/bench_train.py OOM table)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--perceptual_weight", type=float, default=0.0)
     p.add_argument("--lpips_checkpoint", default="",
@@ -227,7 +239,11 @@ def main(argv=None):
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         seed=args.seed, remat=args.gradient_checkpointing,
-        lowp_adam_moments=args.lowp_adam)
+        lowp_adam_moments=args.lowp_adam,
+        adam_update_chunks=args.adam_update_chunks)
+    if args.long_attn_impl:
+        # read at trace time by models/layers.Attention ('auto' modules)
+        os.environ["DIFFCODEC_LONG_ATTN_IMPL"] = args.long_attn_impl
     schedule = NoiseSchedule.create(SchedulerConfig())
     trainer = ControlNetTrainer(unet=unet, controlnet=controlnet, vae=vae,
                                 schedule=schedule, config=tcfg,
