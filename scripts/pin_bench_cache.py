@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Re-pin the committed XLA compile-cache entries for bench.py.
+
+The driver runs `python bench.py` in a fresh workspace; without a warm
+persistent cache the exact point alone costs a ~632 s cold compile and two
+rounds of recorded headlines were lost to the driver's ~900 s kill
+(BENCH_r03/BENCH_r04 rc=124).  bench.py's budget guard makes a cold run
+safe (exact headline always recorded), and committing the three program
+entries the bare run needs makes it FAST — all three default points record
+comfortably inside the budget.
+
+Run after any change to sampler-traced code:
+
+    python bench.py                    # recompiles the changed programs
+    python scripts/pin_bench_cache.py  # rewrites .gitignore pins
+    git add .gitignore .jax_cache && git commit ...
+
+Pins the newest jit_fill entry and the two newest ~100 MB jit_sample
+entries (exact + exact_fusedconv; the distilled program is ~340 MB and is
+left to a 177-220 s driver-side compile that the budget comfortably
+absorbs).
+"""
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".jax_cache", "axon")
+GITIGNORE = os.path.join(REPO, ".gitignore")
+
+MARKER = ".jax_cache/*"
+
+
+def newest(prefix, n, max_bytes=None):
+    ents = []
+    for name in os.listdir(CACHE):
+        if not name.startswith(prefix):
+            continue
+        path = os.path.join(CACHE, name)
+        size = os.path.getsize(path)
+        if max_bytes and size > max_bytes:
+            continue
+        ents.append((os.path.getmtime(path), name))
+    ents.sort(reverse=True)
+    return [name for _, name in ents[:n]]
+
+
+def main():
+    pins = (newest("jit_fill-", 1)
+            + newest("jit_sample-", 2, max_bytes=200 * 1024 ** 2))
+    if len(pins) < 3:
+        sys.exit(f"expected 3 pinnable entries, found {pins} — "
+                 f"run `python bench.py` first")
+    text = open(GITIGNORE).read()
+    head = text.split(MARKER)[0].rstrip("\n")
+    block = "\n".join(
+        [MARKER, "!.jax_cache/axon/", ".jax_cache/axon/*"]
+        + [f"!.jax_cache/axon/{p}" for p in pins])
+    open(GITIGNORE, "w").write(head + "\n" + block + "\n")
+    print("pinned:")
+    for p in pins:
+        print(" ", p, f"{os.path.getsize(os.path.join(CACHE, p)) >> 20} MB")
+
+
+if __name__ == "__main__":
+    main()

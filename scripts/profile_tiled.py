@@ -41,6 +41,9 @@ def main():
     # opt-in reduced-redundancy grid (12 tiles, ~20% less compute)
     ap.add_argument("--overlap", type=int, default=64)
     ap.add_argument("--out", default="artifacts/profile_tiled.json")
+    # comma-separated subset of {exact, cnint3_encint3}: each point jits
+    # its own pipeline per chunk shape (~10 min of cold compiles each)
+    ap.add_argument("--points", default="exact,cnint3_encint3")
     args = ap.parse_args()
 
     from bench import build, init_params
@@ -69,7 +72,10 @@ def main():
               "n_tiles": n_tiles, "steps": args.steps,
               "tile_batch": args.tile_batch, "points": {}}
 
+    wanted = args.points.split(",")
     for suffix, ci, ei in (("exact", 1, 1), ("cnint3_encint3", 3, 3)):
+        if suffix not in wanted:
+            continue
         pipe = DualFlowPipeline(
             unet=unet, controlnet=controlnet, vae=vae, schedule=schedule,
             sampler=SamplerConfig(num_inference_steps=args.steps,
