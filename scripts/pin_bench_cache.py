@@ -15,10 +15,14 @@ Run after any change to sampler-traced code:
     python scripts/pin_bench_cache.py  # rewrites .gitignore pins
     git add .gitignore .jax_cache && git commit ...
 
-Pins the newest jit_fill entry and the two newest ~100 MB jit_sample
-entries (exact + exact_fusedconv; the distilled program is ~340 MB and is
-left to a 177-220 s driver-side compile that the budget comfortably
-absorbs).
+Pins the newest jit_fill entry and the three newest jit_sample entries
+(exact + exact_fusedconv ~100 MB each, distilled ~340 MB).  ALL bench
+programs are pinned: a mixed warm/cold run is the dangerous case — the
+guard's scale extrapolates from cache-hit first-call times and
+under-estimates the one genuinely-cold compile (rehearsed 2026-08-21:
+exact/fused loaded in 230 s/32 s, the unpinned distilled compile then
+outlived a 900 s kill; the dead-man exact re-emit kept the headline, but
+rc was 124).
 """
 
 import os
@@ -48,9 +52,9 @@ def newest(prefix, n, max_bytes=None):
 
 def main():
     pins = (newest("jit_fill-", 1)
-            + newest("jit_sample-", 2, max_bytes=200 * 1024 ** 2))
-    if len(pins) < 3:
-        sys.exit(f"expected 3 pinnable entries, found {pins} — "
+            + newest("jit_sample-", 3, max_bytes=500 * 1024 ** 2))
+    if len(pins) < 4:
+        sys.exit(f"expected 4 pinnable entries, found {pins} — "
                  f"run `python bench.py` first")
     text = open(GITIGNORE).read()
     head = text.split(MARKER)[0].rstrip("\n")
